@@ -1,0 +1,137 @@
+"""URL canonicalization and identity — the engine's per-key semantics.
+
+The reference serializes work per repository key ``host/owner/repo``
+(``repoLockKey``, crawler/crawler.go:620-632) and uses the provider clone
+URL as canonical identity (scanner/github.go:236-239,
+scanner/bitbucket.go:78,139). At frontier scale the engine instead keys
+everything on ``xxhash64(canonicalize(url))``; this module defines the
+canonical form, both as a pure-Python kernel (oracle) and a vectorized
+pandas UDF (engine). Both must agree byte-for-byte — tested.
+
+Canonical form:
+  * scheme and host lowercased
+  * default ports stripped (``:80`` for http, ``:443`` for https)
+  * fragment dropped
+  * query keys sorted (stable sort; duplicate keys keep input order)
+  * trailing ``/`` stripped from non-root paths; root path ``/`` dropped
+  * relative references resolved against the source page's URL
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin, urlsplit, urlunsplit, parse_qsl, urlencode
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonicalize_url(url: str, base: str | None = None) -> str:
+    """Pure-Python canonicalizer (oracle + UDF kernel)."""
+    if base:
+        url = urljoin(base, url)
+    parts = urlsplit(url.strip())
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    if "@" in netloc:
+        userinfo, _, hostport = netloc.rpartition("@")
+        netloc = hostport  # drop credentials: never part of identity
+    if ":" in netloc:
+        host, _, port = netloc.rpartition(":")
+        if _DEFAULT_PORTS.get(scheme) == port:
+            netloc = host
+    path = parts.path
+    if path.endswith("/") and path != "/":
+        path = path.rstrip("/")
+    if path == "/":
+        path = ""
+    query = parts.query
+    if query:
+        pairs = parse_qsl(query, keep_blank_values=True)
+        pairs.sort(key=lambda kv: kv[0])  # stable: dup keys keep input order
+        query = urlencode(pairs)
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_host(url: str) -> str:
+    """Host (no port) of an already-canonical URL."""
+    netloc = urlsplit(url).netloc
+    if ":" in netloc:
+        return netloc.rpartition(":")[0]
+    return netloc
+
+
+def url_path(url: str) -> str:
+    p = urlsplit(url).path
+    return p if p else "/"
+
+
+@F.pandas_udf(T.StringType())
+def canonicalize_url_udf(url: pd.Series) -> pd.Series:
+    return url.map(lambda u: canonicalize_url(u) if u is not None else None)
+
+
+@F.pandas_udf(T.StringType())
+def resolve_and_canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            canonicalize_url(h, b) if h is not None else None
+            for h, b in zip(href, base)
+        ]
+    )
+
+
+# --- JVM-side column helpers (no Python in the hot path) -------------------
+
+
+def host_col(url: Column) -> Column:
+    """Host of a canonical URL, JVM-side (codegen'd regexp)."""
+    return F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def path_col(url: Column) -> Column:
+    """Path of a canonical URL ('/' when empty), JVM-side."""
+    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def title_from_repository_name(name: Column) -> Column:
+    """X2 — Go ``path.Base(name)`` (crawler/crawler.go:484-490)."""
+    return F.element_at(F.split(name, "/"), -1)
+
+
+def split_full_name(name: Column) -> tuple[Column, Column]:
+    """X4 — ``common.SplitFullName`` (common/split_fullname.go:12-24):
+    vendor = everything before the last '/', repo = last segment."""
+    repo = F.element_at(F.split(name, "/"), -1)
+    vendor = F.when(
+        F.instr(name, "/") == 0, F.lit("")
+    ).otherwise(F.regexp_replace(name, r"/[^/]*$", ""))
+    return vendor, repo
+
+
+def repo_lock_key(host: Column, name: Column) -> Column:
+    """X5 — ``repoLockKey`` (crawler/crawler.go:620-632): host for empty
+    names, host/name for single-segment names, host/first/second else."""
+    parts = F.split(name, "/")
+    return (
+        F.when(name == "", host)
+        .when(F.size(parts) < 2, F.concat_ws("/", host, name))
+        .otherwise(F.concat_ws("/", host, parts[0], parts[1]))
+    )
+
+
+def ensure_description(
+    description: Column, title: Column, name: Column
+) -> Column:
+    """X3 — ``ensureDescription`` (crawler/crawler.go:716-730): first
+    non-empty of description, title, name, else the fixed fallback."""
+    return F.coalesce(
+        F.nullif(description, F.lit("")),
+        F.nullif(title, F.lit("")),
+        F.nullif(name, F.lit("")),
+        F.lit("No description provided"),
+    )
