@@ -1,0 +1,122 @@
+"""Multi-round crawl driver — the batch-iterative loop.
+
+The reference runs one continuous pipeline until its channels drain
+(crawler/crawler.go:642-669); the engine runs discrete rounds, each a
+single Spark job whose outputs are checkpointed before the next round
+plans (truncating lineage — iterative DataFrame graphs otherwise grow
+unboundedly). The driver touches only counters, never row data: per-round
+state flows parquet -> plan -> parquet on the executors.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from don_crawler_spark.plans.checkpoint import CheckpointStore
+from don_crawler_spark.plans.config import CrawlConfig
+from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+
+SEEN_SCHEMA = "url_hash long, url string, first_round int"
+
+
+@dataclass
+class CrawlSummary:
+    rounds: int = 0
+    urls_fetched: int = 0
+    urls_200: int = 0
+    resumed_from: int = 0
+    wall_ms_per_round: list[int] = field(default_factory=list)
+
+
+def _empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SEEN_SCHEMA)
+
+
+def run_crawl(
+    spark: SparkSession,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    config: CrawlConfig | None = None,
+) -> CrawlSummary:
+    """Run (or resume) a crawl over a synth corpus directory.
+
+    Resume: the checkpoint store's latest committed manifest defines the
+    restart point; an interrupted round leaves no manifest and is redone
+    from its predecessor's state — "a killed job resumes mid-crawl losing
+    at most one round".
+    """
+    cfg = config or CrawlConfig()
+    store = CheckpointStore(checkpoint_dir)
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    budgets = spark.read.parquet(f"{corpus_dir}/host_budgets.parquet")
+
+    summary = CrawlSummary()
+    start_round = store.latest_round()
+    summary.resumed_from = start_round
+
+    if start_round == 0:
+        seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+        frontier = frontier_from_seeds(seeds)
+        # round 0 checkpoint: the seeded frontier (so round 1 is replayable)
+        store.write_table(frontier, 0, "frontier")
+        store.commit_round(0, {"seeded": True})
+    frontier = store.read_table(spark, start_round, "frontier")
+    seen = store.read_seen(spark, start_round) or _empty_seen(spark)
+
+    for rnd in range(start_round + 1, cfg.max_rounds + 1):
+        t0 = time.monotonic()
+        out = run_round(cfg, rnd, frontier, seen, pages, robots, budgets)
+
+        # Materialize in dependency order; manifest commit is the txn point.
+        store.write_table(out.trace, rnd, "trace")
+        store.write_table(out.fetched, rnd, "fetched")
+        store.write_table(out.seen_delta, rnd, "seen_delta")
+        store.write_table(out.new_frontier, rnd, "frontier")
+
+        trace_df = store.read_table(spark, rnd, "trace")
+        n_selected = trace_df.count()
+        if n_selected == 0:
+            # empty round: don't commit, don't continue (oracle breaks
+            # before emitting anything for an empty selection)
+            break
+        n_200 = trace_df.filter(F.col("status") == 200).count()
+
+        # per-partition lineage/counters (metrics table)
+        metrics = (
+            store.read_table(spark, rnd, "fetched")
+            .groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("urls_fetched"),
+                F.sum((F.col("status") == 200).cast("long")).alias("urls_200"),
+                F.sum("n_links").alias("links_emitted"),
+            )
+            .withColumn("round", F.lit(rnd))
+            .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
+        )
+        store.write_table(metrics, rnd, "metrics")
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        store.commit_round(
+            rnd,
+            {
+                "selected": n_selected,
+                "fetched_200": n_200,
+                "wall_ms": wall_ms,
+            },
+        )
+        summary.rounds = rnd
+        summary.urls_fetched += n_selected
+        summary.urls_200 += n_200
+        summary.wall_ms_per_round.append(wall_ms)
+
+        frontier = store.read_table(spark, rnd, "frontier")
+        seen = store.read_seen(spark, rnd)
+
+    return summary

@@ -1,0 +1,269 @@
+"""Deterministic synthetic crawl corpus (the sandbox's "web").
+
+Produces the engine-side input tables per FIXTURES.md §B, exactly matching
+BASELINE.json's input_hint shape for pages:
+
+  pages(url string, warc_ts timestamp, html binary, text string, lang string)
+  seeds(publisher_id, publisher_name, org_url, repo_urls, organisation_url)
+  robots(host, path_prefix, allow)
+  host_budgets(host, crawl_delay_ms, max_per_round)
+
+Everything is a pure function of (seed, n_pages): python's random.Random —
+no wall clock, no global state — so every scale regenerates byte-identically.
+The html embeds the reference extractor's edge cases (leading headings,
+<img/<a/![/[! lines, CRLF, blank-line breaks — crawler/crawler.go:671-714)
+and <a href> out-links forming a closed graph plus deliberate dead links.
+One heavy host carries ~30% of URLs to exercise skew handling.
+
+The golden ``text`` column is produced by the SAME pure-Python extractor
+the oracle uses — the engine's Arrow UDF must reproduce it byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from don_crawler_spark.functions.extract import description_from_readme
+
+BASE_TS = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+WORDS = (
+    "frontier fetch schedule extract score emit crawl page link host budget "
+    "politeness robots snapshot round seen bloom filter partition shuffle "
+    "broadcast skew salt checkpoint lineage counter publisher repository "
+    "vitality activity commit tag author readme description catalog"
+).split()
+
+LANGS = ["nl", "en", "de", "fr"]
+
+
+def _hosts(rng: random.Random, n_hosts: int) -> list[str]:
+    return ["heavy.example.nl"] + [f"git{i:02d}.example.nl" for i in range(1, n_hosts)]
+
+
+def _page_url(host: str, org: int, repo: int) -> str:
+    return f"https://{host}/org{org}/repo{repo}"
+
+
+def _make_html(
+    rng: random.Random, url: str, links: list[str], dead_links: list[str]
+) -> str:
+    """README-ish page with extractor edge cases and href out-links."""
+    lines: list[str] = []
+    style = rng.randrange(6)
+    if style == 0:
+        lines.append(f"# {rng.choice(WORDS)} {rng.choice(WORDS)}")
+    elif style == 1:
+        lines.append("<img src=\"badge.svg\" alt=\"badge\">")
+    elif style == 2:
+        lines.append(f"[![ci](https://ci.example.nl/s.svg)](x)")
+    elif style == 3:
+        lines.append("")  # leading blank line -> extractor quirk (a)
+    # first paragraph (what the extractor sees)
+    n_para = rng.randint(1, 4)
+    for _ in range(n_para):
+        n_words = rng.randint(3, 12)
+        indent = " " * rng.randrange(3)
+        lines.append(indent + " ".join(rng.choice(WORDS) for _ in range(n_words)))
+    lines.append("")  # paragraph break
+    lines.append(" ".join(rng.choice(WORDS) for _ in range(rng.randint(5, 30))))
+    lines.append("")
+    # out-links section (scanned from the whole page, not just the paragraph)
+    for href in links + dead_links:
+        lines.append(f'<a href="{href}">{rng.choice(WORDS)}</a>')
+    newline = "\r\n" if rng.random() < 0.3 else "\n"
+    return newline.join(lines)
+
+
+def generate_corpus(
+    out_dir: str,
+    n_pages: int = 2000,
+    n_hosts: int = 40,
+    seed: int = 42,
+    heavy_share: float = 0.30,
+    out_degree: int = 4,
+    dead_link_rate: float = 0.05,
+    n_publishers: int = 8,
+) -> dict[str, str]:
+    """Write the corpus tables as parquet; returns {table: path}.
+
+    Graph shape: pages are numbered 0..n-1; page i links to pages with
+    larger indices (a DAG flowing away from the seeds) plus occasional
+    back-links, so a breadth-first crawl from the seed hubs reaches a
+    large fraction of the corpus over several rounds.
+    """
+    rng = random.Random(seed)
+    hosts = _hosts(rng, n_hosts)
+
+    # --- assign every page to a host (heavy host gets ~heavy_share) -------
+    page_hosts: list[str] = []
+    for _ in range(n_pages):
+        if rng.random() < heavy_share:
+            page_hosts.append(hosts[0])
+        else:
+            page_hosts.append(rng.choice(hosts[1:]))
+
+    urls: list[str] = []
+    for i, host in enumerate(page_hosts):
+        urls.append(_page_url(host, i % 97, i))
+
+    url_set = set(urls)
+    assert len(url_set) == n_pages
+
+    # --- robots rules ------------------------------------------------------
+    # every host: a couple of disallowed prefixes; one host fully disallowed
+    robots_rows: list[tuple[str, str, bool]] = []
+    blocked_host = hosts[-1]
+    for host in hosts:
+        if host == blocked_host:
+            robots_rows.append((host, "/", False))
+            continue
+        robots_rows.append((host, "/", True))
+        for org in rng.sample(range(97), 3):
+            robots_rows.append((host, f"/org{org}/", False))
+    denied_prefixes: dict[str, list[tuple[str, bool]]] = {}
+    for host, prefix, allow in robots_rows:
+        denied_prefixes.setdefault(host, []).append((prefix, allow))
+
+    # --- host budgets -------------------------------------------------------
+    budget_rows: list[tuple[str, int, int]] = []
+    delays = [250, 500, 1000, 2000]
+    for host in hosts:
+        delay = delays[rng.randrange(len(delays))]
+        # heavy host gets a generous budget so skew shows up in fetch work
+        max_round = 200 if host == hosts[0] else rng.choice([10, 25, 50])
+        budget_rows.append((host, delay, max_round))
+
+    # --- link graph ----------------------------------------------------------
+    links_of: list[list[str]] = []
+    dead_of: list[list[str]] = []
+    for i in range(n_pages):
+        n_out = rng.randint(1, out_degree + 2)
+        targets: list[str] = []
+        for _ in range(n_out):
+            if i < n_pages - 1 and rng.random() < 0.85:
+                j = rng.randint(i + 1, min(n_pages - 1, i + 1 + rng.randint(0, 200)))
+            else:
+                j = rng.randrange(n_pages)  # occasional back/self link
+            targets.append(urls[j])
+        # express some links relative / messy to exercise canonicalization
+        styled: list[str] = []
+        for t in targets:
+            r = rng.random()
+            if r < 0.15:
+                styled.append(t + "/")  # trailing slash variant
+            elif r < 0.25:
+                styled.append(t.replace("https://", "HTTPS://", 1))
+            elif r < 0.35 and page_hosts[i] in t:
+                # relative path on same host
+                styled.append("/" + t.split("/", 3)[3])
+            else:
+                styled.append(t)
+        dead: list[str] = []
+        if rng.random() < dead_link_rate * 10:  # some pages carry dead links
+            for _ in range(rng.randint(1, 2)):
+                dead.append(
+                    f"https://{page_hosts[i]}/org{rng.randrange(97)}/gone{rng.randrange(10**6)}"
+                )
+        links_of.append(styled)
+        dead_of.append(dead)
+
+    # --- page bodies + golden text ------------------------------------------
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    ts: list[dt.datetime] = []
+    for i in range(n_pages):
+        html = _make_html(rng, urls[i], links_of[i], dead_of[i])
+        htmls.append(html.encode("utf-8"))
+        texts.append(description_from_readme(html))
+        langs.append(rng.choice(LANGS))
+        ts.append(BASE_TS + dt.timedelta(seconds=i))
+
+    # --- seeds ---------------------------------------------------------------
+    # publishers point at early pages (hubs) so BFS coverage is wide; mirrors
+    # common.Publisher (org URL + optional explicit repo URLs).
+    seed_rows = []
+    hub_candidates = list(range(min(n_pages, 200)))
+    rng.shuffle(hub_candidates)
+    for p in range(n_publishers):
+        org_page = hub_candidates[p % len(hub_candidates)]
+        n_repos = rng.randint(0, 3)
+        repo_urls = [
+            urls[hub_candidates[(p * 7 + 1 + k) % len(hub_candidates)]]
+            for k in range(n_repos)
+        ]
+        seed_rows.append(
+            (
+                f"pub{p:03d}",
+                f"Publisher {p}",
+                urls[org_page],
+                repo_urls,
+                f"https://portal.example.nl/org/pub{p:03d}",
+            )
+        )
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths: dict[str, str] = {}
+
+    pages_tbl = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    paths["pages"] = os.path.join(out_dir, "pages.parquet")
+    pq.write_table(pages_tbl, paths["pages"])
+
+    seeds_tbl = pa.table(
+        {
+            "publisher_id": pa.array([r[0] for r in seed_rows], pa.string()),
+            "publisher_name": pa.array([r[1] for r in seed_rows], pa.string()),
+            "org_url": pa.array([r[2] for r in seed_rows], pa.string()),
+            "repo_urls": pa.array([r[3] for r in seed_rows], pa.list_(pa.string())),
+            "organisation_url": pa.array([r[4] for r in seed_rows], pa.string()),
+        }
+    )
+    paths["seeds"] = os.path.join(out_dir, "seeds.parquet")
+    pq.write_table(seeds_tbl, paths["seeds"])
+
+    robots_tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in robots_rows], pa.string()),
+            "path_prefix": pa.array([r[1] for r in robots_rows], pa.string()),
+            "allow": pa.array([r[2] for r in robots_rows], pa.bool_()),
+        }
+    )
+    paths["robots"] = os.path.join(out_dir, "robots.parquet")
+    pq.write_table(robots_tbl, paths["robots"])
+
+    budgets_tbl = pa.table(
+        {
+            "host": pa.array([r[0] for r in budget_rows], pa.string()),
+            "crawl_delay_ms": pa.array([r[1] for r in budget_rows], pa.int64()),
+            "max_per_round": pa.array([r[2] for r in budget_rows], pa.int32()),
+        }
+    )
+    paths["host_budgets"] = os.path.join(out_dir, "host_budgets.parquet")
+    pq.write_table(budgets_tbl, paths["host_budgets"])
+
+    return paths
+
+
+def corpus_dir_for(base_dir: str, n_pages: int, seed: int = 42) -> str:
+    """Generate-once cache: corpora are pure functions of (n_pages, seed)."""
+    out = os.path.join(base_dir, f"corpus_n{n_pages}_s{seed}")
+    marker = os.path.join(out, "_COMPLETE")
+    if not os.path.exists(marker):
+        generate_corpus(out, n_pages=n_pages, seed=seed)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
+    return out

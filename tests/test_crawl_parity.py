@@ -1,0 +1,146 @@
+"""Golden-trace parity: the Spark engine must reproduce the sequential
+oracle's crawl ordering, seen-set, and extracted text EXACTLY
+(north_rule: "matching the reference's crawl ordering and URL-seen set
+under the same seed list + politeness budget")."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from don_crawler_spark.plans.config import CrawlConfig
+from don_crawler_spark.plans.oracle import crawl_oracle
+from don_crawler_spark.sources.synth import generate_corpus
+
+CFG = CrawlConfig(max_rounds=8)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus"))
+    generate_corpus(out, n_pages=300, n_hosts=12, seed=42, n_publishers=4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return crawl_oracle(corpus, CFG)
+
+
+@pytest.fixture(scope="module")
+def engine_ckpt(spark, corpus, tmp_path_factory):
+    from don_crawler_spark.plans.driver import run_crawl
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    summary = run_crawl(spark, corpus, ckpt, CFG)
+    return ckpt, summary
+
+
+def _engine_trace(spark, ckpt, upto):
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+
+    store = CheckpointStore(ckpt)
+    df = store.read_all(spark, "trace", upto)
+    return sorted(
+        (r["round"], r["seq_in_round"], r["host"], r["url"], r["status"])
+        for r in df.collect()
+    )
+
+
+def test_oracle_sanity(oracle) -> None:
+    assert oracle.rounds >= 3, "corpus should take several rounds"
+    assert len(oracle.seen) > 100
+    statuses = {s for (_, _, _, _, s) in oracle.trace}
+    assert statuses == {200, 404}, "dead links should appear as 404"
+    denied = sum(m["robots_denied"] for m in oracle.metrics)
+    assert denied > 0, "robots rules should deny something"
+
+
+def test_trace_matches_oracle(spark, engine_ckpt, oracle) -> None:
+    ckpt, summary = engine_ckpt
+    assert summary.rounds == oracle.rounds
+    got = _engine_trace(spark, ckpt, summary.rounds)
+    want = sorted(oracle.trace)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"trace row diverged: engine={g} oracle={w}"
+
+
+def test_seen_set_matches_oracle(spark, engine_ckpt, oracle) -> None:
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+
+    ckpt, summary = engine_ckpt
+    store = CheckpointStore(ckpt)
+    seen = store.read_seen(spark, summary.rounds)
+    got = {r["url"]: (r["url_hash"], r["first_round"]) for r in seen.collect()}
+    assert got == oracle.seen
+
+
+def test_extracted_text_byte_exact(spark, engine_ckpt, oracle, corpus) -> None:
+    """100% byte-exactness of extracted text vs (a) the oracle extractor
+    run and (b) the corpus's golden ``text`` column."""
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+
+    ckpt, summary = engine_ckpt
+    store = CheckpointStore(ckpt)
+    fetched = store.read_all(spark, "fetched", summary.rounds)
+    got = {
+        r["url"]: r["text"]
+        for r in fetched.filter("status = 200").collect()
+    }
+    assert set(got) == set(oracle.text)
+    for url, text in oracle.text.items():
+        assert got[url].encode("utf-8") == text.encode("utf-8"), url
+    golden = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(f"{corpus}/pages.parquet")
+        .select("url", "text")
+        .collect()
+        if r["url"] in got
+    }
+    for url, text in golden.items():
+        assert got[url].encode("utf-8") == text.encode("utf-8"), url
+
+
+def test_metrics_recorded(spark, engine_ckpt) -> None:
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+
+    ckpt, summary = engine_ckpt
+    store = CheckpointStore(ckpt)
+    m = store.read_all(spark, "metrics", summary.rounds)
+    rows = m.collect()
+    assert {r["round"] for r in rows} == set(range(1, summary.rounds + 1))
+    assert all(r["wall_ms"] >= 0 for r in rows)
+    total = sum(r["urls_fetched"] for r in rows)
+    assert total == summary.urls_fetched
+
+
+def test_resume_loses_at_most_one_round(
+    spark, corpus, oracle, tmp_path_factory
+) -> None:
+    """Kill after round k (simulated: cap max_rounds), restart from the
+    checkpoint, final state identical to an uninterrupted run."""
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+    from don_crawler_spark.plans.driver import run_crawl
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_resume"))
+    partial = run_crawl(spark, corpus, ckpt, CrawlConfig(max_rounds=2))
+    assert partial.rounds == 2
+
+    # simulate a crash mid-round-3: a round directory without a manifest
+    store = CheckpointStore(ckpt)
+    import os
+
+    os.makedirs(store.table_path(3, "trace"), exist_ok=True)
+    assert store.latest_round() == 2
+
+    full = run_crawl(spark, corpus, ckpt, CFG)
+    assert full.resumed_from == 2
+    assert full.rounds == oracle.rounds
+
+    got = _engine_trace(spark, ckpt, full.rounds)
+    assert got == sorted(oracle.trace)
+    seen = store.read_seen(spark, full.rounds)
+    got_seen = {r["url"]: (r["url_hash"], r["first_round"]) for r in seen.collect()}
+    assert got_seen == oracle.seen
