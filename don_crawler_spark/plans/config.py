@@ -25,10 +25,12 @@ class CrawlConfig:
     max_depth: int = 50
     default_crawl_delay_ms: int = 1_000
     default_max_per_round: int = 100
-    # partitioned-Bloom prefilter for the seen anti-join
+    # partitioned-Bloom prefilter for the seen anti-join. m_bits is per
+    # BUCKET and fixed so round deltas OR-merge; at 10^10 URLs you scale
+    # n_buckets (shards), not the per-shard size.
     bloom_enabled: bool = True
     bloom_buckets: int = 32
-    bloom_bits_per_key: int = 16
+    bloom_m_bits: int = 1 << 20
     bloom_num_hashes: int = 7
 
     def host_budget(self, crawl_delay_ms: int | None, max_per_round: int | None) -> int:

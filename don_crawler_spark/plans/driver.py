@@ -15,8 +15,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from don_crawler_spark.functions.bloom import BLOOM_SCHEMA, make_merge_fn
 from don_crawler_spark.plans.checkpoint import CheckpointStore
 from don_crawler_spark.plans.config import CrawlConfig
 from don_crawler_spark.plans.round import frontier_from_seeds, run_round
@@ -70,15 +70,64 @@ def run_crawl(
     frontier = store.read_table(spark, start_round, "frontier")
     seen = store.read_seen(spark, start_round) or _empty_seen(spark)
 
+    def _read_bloom(rnd_: int) -> DataFrame | None:
+        if not cfg.bloom_enabled:
+            return None
+        import os
+
+        path = store.table_path(rnd_, "seen_bloom")
+        if os.path.exists(path):
+            return spark.read.parquet(path)
+        # INVARIANT: the Bloom table must be a superset of the seen-set
+        # (false negatives would let seen URLs bypass the exact anti-join).
+        # Missing table (fresh crawl, or resume from a non-Bloom run) ->
+        # rebuild from the exact seen deltas.
+        seen_all = store.read_seen(spark, rnd_)
+        if seen_all is None:
+            return spark.createDataFrame([], BLOOM_SCHEMA)
+        delta_b = seen_all.select(
+            F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets))
+            .cast("int")
+            .alias("bucket"),
+            "url_hash",
+        )
+        return (
+            delta_b.groupBy("bucket")
+            .cogroup(spark.createDataFrame([], BLOOM_SCHEMA).groupBy("bucket"))
+            .applyInPandas(
+                make_merge_fn(cfg.bloom_m_bits, cfg.bloom_num_hashes), BLOOM_SCHEMA
+            )
+        )
+
+    bloom = _read_bloom(start_round)
+
     for rnd in range(start_round + 1, cfg.max_rounds + 1):
         t0 = time.monotonic()
-        out = run_round(cfg, rnd, frontier, seen, pages, robots, budgets)
+        out = run_round(cfg, rnd, frontier, seen, pages, robots, budgets, bloom=bloom)
 
         # Materialize in dependency order; manifest commit is the txn point.
         store.write_table(out.trace, rnd, "trace")
         store.write_table(out.fetched, rnd, "fetched")
         store.write_table(out.seen_delta, rnd, "seen_delta")
         store.write_table(out.new_frontier, rnd, "frontier")
+
+        if cfg.bloom_enabled:
+            # fold this round's new hashes into the bucket-sharded filters
+            delta_b = store.read_table(spark, rnd, "seen_delta").select(
+                F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets))
+                .cast("int")
+                .alias("bucket"),
+                "url_hash",
+            )
+            bloom_new = (
+                delta_b.groupBy("bucket")
+                .cogroup(bloom.groupBy("bucket"))
+                .applyInPandas(
+                    make_merge_fn(cfg.bloom_m_bits, cfg.bloom_num_hashes),
+                    BLOOM_SCHEMA,
+                )
+            )
+            store.write_table(bloom_new, rnd, "seen_bloom")
 
         trace_df = store.read_table(spark, rnd, "trace")
         n_selected = trace_df.count()
@@ -118,5 +167,6 @@ def run_crawl(
 
         frontier = store.read_table(spark, rnd, "frontier")
         seen = store.read_seen(spark, rnd)
+        bloom = _read_bloom(rnd)
 
     return summary

@@ -130,18 +130,43 @@ def run_round(
     pages: DataFrame,
     robots: DataFrame,
     host_budgets: DataFrame,
-    seen_prefilter: DataFrame | None = None,
+    bloom: DataFrame | None = None,
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
 
-    ``seen_prefilter``: optional Bloom-prefiltered frontier (rows already
-    known definitely-new skip the exact anti-join) — see plans/bloom.py.
+    ``bloom``: optional bucket-sharded Bloom table (functions/bloom.py)
+    used as a prefilter in front of the exact seen anti-join.
     """
     f = _dedup_frontier(frontier)
 
-    # U4: seen-set anti-join (exact; Bloom is only ever a prefilter)
-    f = f.join(seen.select("url_hash"), "url_hash", "left_anti")
+    # U4: seen-set anti-join. With a Bloom table available, probe the
+    # bucket-sharded filters first (cogrouped, bucket-local): rows the
+    # filter has never seen are definitely new and skip the exact
+    # anti-join; only the maybe-seen remainder shuffles into it. The
+    # exact join always confirms, so false positives cannot drop URLs.
+    if bloom is not None:
+        from don_crawler_spark.functions.bloom import make_probe_fn
+
+        probe_schema = (
+            "url_hash long, url string, host string, path string, "
+            "depth int, src_url string, maybe_seen boolean"
+        )
+        bucket = F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets)).cast("int")
+        probed = (
+            f.groupBy(bucket.alias("bucket"))
+            .cogroup(bloom.groupBy("bucket"))
+            .applyInPandas(
+                make_probe_fn(cfg.bloom_m_bits, cfg.bloom_num_hashes, FRONTIER_COLS),
+                probe_schema,
+            )
+        )
+        definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        confirmed_new = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+        f = definitely_new.unionByName(confirmed_new)
+    else:
+        f = f.join(seen.select("url_hash"), "url_hash", "left_anti")
 
     # robots allow/deny (longest-prefix, broadcast dimension)
     allowed, denied = apply_robots_filter(f, robots)
