@@ -1,38 +1,973 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the don_crawler_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the reference's vitality index (A1-A7 +
+J3 range join, git/repo_activity.go:38-108) over the sf0.001 events table.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text
+stats / multimodal). Every aggregate column is aliased identically on both
+sides; double-typed sums go through DECIMAL(18,4) so Spark and DuckDB
+produce bit-identical values regardless of summation order.
 """
 
 from __future__ import annotations
 
+import datetime as dt
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators import dedup as DD
+from don_crawler_spark.operators import multimodal as MM
+from don_crawler_spark.operators import similarity as SIM
+from don_crawler_spark.operators import textstats as TS
+from don_crawler_spark.operators.vitality import (
+    GIT_EPOCH,
+    RANGES_DATA,
+    range_points,
+    ranges_df,
+    vitality_index,
+)
+from don_crawler_spark.sources.tables import load
+
+# fixed analysis window for the events-as-commits mapping (events span
+# 2024-01-01 .. 2024-01-31; NOW is past the last event, like the
+# reference's time.Now())
+NOW = dt.datetime(2024, 2, 1, 0, 0, 0)
+DAYS = 45
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+SQL_COMMITS = """
+commits AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo,
+         event_type || '@x' AS author_email,
+         ts,
+         CASE WHEN event_type = 'error' THEN 2 ELSE 1 END AS n_parents
+  FROM events
+)"""
+
+SQL_TAGS = """
+tags AS (
+  SELECT CAST(user_id AS VARCHAR) AS repo, ts FROM events
+  WHERE event_type = 'view'
+)"""
+
+SQL_RANGES = "ranges(name, mn, mx, points) AS (VALUES " + ", ".join(
+    f"('{n}', {lo}, {hi}, {p})" for n, lo, hi, p in RANGES_DATA
+) + ")"
+
+SQL_SPINE = f"""
+spine AS (
+  SELECT r.repo, gs.i AS day_idx,
+         TIMESTAMP '{NOW}' - gs.i * INTERVAL 1 DAY AS cutoff_ts,
+         CAST(TIMESTAMP '{NOW}' - gs.i * INTERVAL 1 DAY AS DATE) AS cal_day
+  FROM (SELECT DISTINCT repo FROM commits) r, generate_series(0, {DAYS - 1}) gs(i)
+)"""
+
+SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+def _commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.concat(F.col("event_type"), F.lit("@x")).alias("author_email"),
+        "ts",
+        F.when(F.col("event_type") == "error", 2).otherwise(1).alias("n_parents"),
+    )
+
+
+def _tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").cast("string").alias("repo"), "ts"
+    )
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus injected exact copies (doc_id % 7 == 0 re-emitted
+    with shifted ids) so exact-dedup has real clusters to find."""
+    docs = load(spark, sf_dir, "documents")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return docs.unionByName(dups)
+
+
+SQL_DOCS_WITH_DUPS = """
+docs_with_dups AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+# ---------------------------------------------------------------------------
+# the registry: name -> (spark_fn, duckdb_sql | None)
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# --- A-family: aggregations (SURVEY.md §2.5) --------------------------------
+
+
+@_q(
+    "a1_daily_activity",
+    f"""WITH {SQL_COMMITS}
+SELECT repo, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS cal_day,
+       CAST(SUM(CASE WHEN n_parents > 1 THEN 2 ELSE 1 END) AS BIGINT) AS n_activity
+FROM commits GROUP BY repo, cal_day""",
+)
+def a1(spark, sf_dir):
+    """A1 — commits/day, merges double (git/repo_activity.go:172-196)."""
+    return (
+        _commits(spark, sf_dir)
+        .groupBy("repo", F.date_trunc("day", "ts").alias("cal_day"))
+        .agg(
+            F.sum(F.when(F.col("n_parents") > 1, 2).otherwise(1)).alias("n_activity")
+        )
+    )
+
+
+@_q(
+    "a2_daily_tags",
+    f"""WITH {SQL_TAGS}
+SELECT repo, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS cal_day,
+       CAST(COUNT(*) AS BIGINT) AS n_tags
+FROM tags GROUP BY repo, cal_day""",
+)
+def a2(spark, sf_dir):
+    """A2 — tags/day (git/repo_activity.go:198-206)."""
+    return (
+        _tags(spark, sf_dir)
+        .groupBy("repo", F.date_trunc("day", "ts").alias("cal_day"))
+        .agg(F.count(F.lit(1)).alias("n_tags"))
+    )
+
+
+@_q(
+    "a3_first_commit_by_author",
+    f"""WITH {SQL_COMMITS}
+SELECT repo, author_email, MIN(ts) AS first_ts
+FROM commits WHERE author_email <> '' GROUP BY repo, author_email""",
+)
+def a3(spark, sf_dir):
+    """A3 — first commit per author (git/repo_activity.go:184-188)."""
+    from don_crawler_spark.operators.vitality import first_commit_by_author
+
+    return first_commit_by_author(_commits(spark, sf_dir))
+
+
+@_q(
+    "a4_cumulative_authors",
+    f"""WITH {SQL_COMMITS}, {SQL_SPINE},
+fc AS (SELECT repo, author_email, MIN(ts) AS first_ts
+       FROM commits WHERE author_email <> '' GROUP BY repo, author_email)
+SELECT s.repo, s.day_idx, CAST(COUNT(fc.author_email) AS BIGINT) AS n_authors
+FROM spine s LEFT JOIN fc ON fc.repo = s.repo AND fc.first_ts < s.cutoff_ts
+GROUP BY s.repo, s.day_idx""",
+)
+def a4(spark, sf_dir):
+    """A4 — running distinct-author count before each day cutoff
+    (git/repo_activity.go:208-219)."""
+    from don_crawler_spark.operators.vitality import (
+        day_spine,
+        first_commit_by_author,
+        user_community,
+    )
+
+    commits = _commits(spark, sf_dir)
+    spine = day_spine(spark, commits, DAYS, NOW)
+    uc = user_community(spine, first_commit_by_author(commits))
+    return uc.select("repo", "day_idx", F.col("n_authors").cast("long").alias("n_authors"))
+
+
+@_q(
+    "a5_longevity",
+    f"""WITH {SQL_COMMITS}
+SELECT repo, MIN(ts) AS oldest_ts,
+       (FLOOR(EPOCH(TIMESTAMP '{NOW}')) - FLOOR(EPOCH(MIN(ts)))) / 86400.0
+         AS longevity_days
+FROM commits GROUP BY repo""",
+)
+def a5(spark, sf_dir):
+    """A5 — oldest commit + fractional age (git/repo_activity.go:221-234)."""
+    return (
+        _commits(spark, sf_dir)
+        .groupBy("repo")
+        .agg(F.min("ts").alias("oldest_ts"))
+        .withColumn(
+            "longevity_days",
+            (
+                F.unix_timestamp(F.lit(NOW)) - F.unix_timestamp("oldest_ts")
+            ).cast("double")
+            / F.lit(86400.0),
+        )
+    )
+
+
+@_q(
+    "a6_range_scoring",
+    f"""WITH {SQL_RANGES}
+SELECT e.event_id, e.value,
+       COALESCE(r.points, 0.0) AS points
+FROM events e LEFT JOIN ranges r
+  ON r.name = 'codeActivity' AND e.value >= r.mn AND e.value < r.mx""",
+)
+def a6(spark, sf_dir):
+    """A6/J3 — banded score lookup as a broadcast range join
+    (git/repo_activity.go:260-274, vitality-ranges.yml)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    return range_points(ev, ranges_df(spark), "value", "codeActivity", "points")
+
+
+@_q(
+    "a7_vitality_index",
+    f"""WITH {SQL_COMMITS}, {SQL_TAGS}, {SQL_RANGES}, {SQL_SPINE},
+act AS (SELECT repo, CAST(ts AS DATE) AS cal_day,
+               CAST(SUM(CASE WHEN n_parents > 1 THEN 2 ELSE 1 END) AS DOUBLE)
+                 AS n_activity
+        FROM commits GROUP BY repo, cal_day),
+tg AS (SELECT repo, CAST(ts AS DATE) AS cal_day,
+              CAST(COUNT(*) AS DOUBLE) AS n_tags
+       FROM tags GROUP BY repo, cal_day),
+fc AS (SELECT repo, author_email, MIN(ts) AS first_ts
+       FROM commits WHERE author_email <> '' GROUP BY repo, author_email),
+uc AS (SELECT s.repo, s.day_idx, CAST(COUNT(fc.author_email) AS DOUBLE) AS n_authors
+       FROM spine s LEFT JOIN fc ON fc.repo = s.repo AND fc.first_ts < s.cutoff_ts
+       GROUP BY s.repo, s.day_idx),
+oldest AS (SELECT repo, MIN(ts) AS oldest_ts FROM commits GROUP BY repo),
+base AS (
+  SELECT s.repo, s.day_idx,
+         COALESCE(a.n_activity, 0.0) AS n_activity,
+         COALESCE(t.n_tags, 0.0) AS n_tags,
+         COALESCE(u.n_authors, 0.0) AS n_authors,
+         CASE WHEN o.oldest_ts IS NULL THEN 0.0
+              WHEN o.oldest_ts < TIMESTAMP '{GIT_EPOCH}' THEN -1.0
+              ELSE (FLOOR(EPOCH(TIMESTAMP '{NOW}')) - FLOOR(EPOCH(o.oldest_ts))) / 86400.0
+         END AS longevity
+  FROM spine s
+  LEFT JOIN act a ON a.repo = s.repo AND a.cal_day = s.cal_day
+  LEFT JOIN tg t ON t.repo = s.repo AND t.cal_day = s.cal_day
+  LEFT JOIN uc u ON u.repo = s.repo AND u.day_idx = s.day_idx
+  LEFT JOIN oldest o ON o.repo = s.repo
+),
+scored AS (
+  SELECT b.repo, b.day_idx,
+         LEAST(100.0,
+           COALESCE(rc.points, 0.0) + COALESCE(ra.points, 0.0)
+           + COALESCE(rr.points, 0.0) + COALESCE(rl.points, 0.0)) AS daily
+  FROM base b
+  LEFT JOIN ranges rc ON rc.name = 'userCommunity'
+        AND b.n_authors >= rc.mn AND b.n_authors < rc.mx
+  LEFT JOIN ranges ra ON ra.name = 'codeActivity'
+        AND b.n_activity >= ra.mn AND b.n_activity < ra.mx
+  LEFT JOIN ranges rr ON rr.name = 'releaseHistory'
+        AND b.n_tags >= rr.mn AND b.n_tags < rr.mx
+  LEFT JOIN ranges rl ON rl.name = 'longevity'
+        AND b.longevity >= rl.mn AND b.longevity < rl.mx
+)
+SELECT repo, CAST(FLOOR(LEAST(100.0, AVG(daily))) AS DOUBLE) AS vitality
+FROM scored GROUP BY repo""",
+)
+def a7(spark, sf_dir):
+    """A7 — the flagship: full vitality pipeline (A1-A7 + J3)."""
+    return vitality_index(
+        spark, _commits(spark, sf_dir), _tags(spark, sf_dir), DAYS, NOW
+    )
+
+
+@_q(
+    "a9_rate_limit_reset",
+    f"""SELECT CAST(user_id AS VARCHAR) AS host, MAX(ts) AS latest_reset
+FROM events WHERE ts <= TIMESTAMP '{NOW}' + INTERVAL 24 HOUR
+GROUP BY host""",
+)
+def a9(spark, sf_dir):
+    """A9 — latest rate-limit reset bounded to now+24h
+    (common/rate_limit_headers.go:19-64)."""
+    ev = load(spark, sf_dir, "events")
+    bound = NOW + dt.timedelta(hours=24)
+    return (
+        ev.filter(F.col("ts") <= F.lit(bound))
+        .groupBy(F.col("user_id").cast("string").alias("host"))
+        .agg(F.max("ts").alias("latest_reset"))
+    )
+
+
+# --- T-family: sorts / limits / top-k (SURVEY.md §2.6) -----------------------
+
+
+@_q(
+    "t1_latest_event",
+    """SELECT user_id, event_id AS latest_event_id, ts AS latest_ts
+FROM (SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1""",
+)
+def t1(spark, sf_dir):
+    """T1/T2 — ORDER BY ts DESC LIMIT 1 per key (scanner/github.go:266-315)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("ts").alias("latest_ts"),
+        )
+    )
+
+
+@_q(
+    "t3_readme_ranking",
+    """WITH ranked AS (
+  SELECT lang, source,
+         CASE WHEN COALESCE(list_position(['src0','src1','src2'], source), 0) > 0
+              THEN COALESCE(list_position(['src0','src1','src2'], source), 0)
+              ELSE 1000 END AS pref_rank
+  FROM documents
+)
+SELECT lang, source AS best_source FROM (
+  SELECT lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY pref_rank ASC, source ASC) AS rn
+  FROM ranked) WHERE rn = 1""",
+)
+def t3(spark, sf_dir):
+    """T3 — preferred-name ordered coalesce / top-1 by rank
+    (git/readme.go:49-82)."""
+    docs = load(spark, sf_dir, "documents")
+    pref = F.array_position(
+        F.array(F.lit("src0"), F.lit("src1"), F.lit("src2")), F.col("source")
+    )
+    ranked = docs.select(
+        "lang",
+        "source",
+        F.when(pref > 0, pref).otherwise(F.lit(1000)).alias("pref_rank"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("pref_rank"), F.asc("source"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("source").alias("best_source"))
+    )
+
+
+@_q(
+    "t5_budget_rank",
+    """SELECT o_custkey, o_orderkey, rank_in_host FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC)
+           AS rank_in_host
+  FROM orders) WHERE rank_in_host <= 3""",
+)
+def t5(spark, sf_dir):
+    """T5 — the frontier budget cut: per-key ranked top-N (north_rule's
+    per-host round-robin, plans/round.py)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_host", F.row_number().over(w))
+        .filter(F.col("rank_in_host") <= 3)
+        .select("o_custkey", "o_orderkey", "rank_in_host")
+    )
+
+
+# --- J-family: joins / enrichment (SURVEY.md §2.4) ---------------------------
+
+
+@_q(
+    "j1_broadcast_enrichment",
+    """SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand""",
+)
+def j1(spark, sf_dir):
+    """J1 — publisher enrichment as a broadcast hash join
+    (scanner/github.go:241-254). DECIMAL sums for engine-portable values."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@_q(
+    "j2_publisher_upsert",
+    """WITH agg AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT COALESCE(c.c_custkey, a.o_custkey) AS custkey,
+       COALESCE(c.c_name, 'unknown') AS name,
+       COALESCE(a.n_orders, 0) AS n_orders
+FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey""",
+)
+def j2(spark, sf_dir):
+    """J2/U3 — merge/upsert as full outer join + coalesce
+    (cmd/download_publishers.go:63-84)."""
+    c = load(spark, sf_dir, "customer")
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return c.join(agg, c["c_custkey"] == agg["o_custkey"], "full_outer").select(
+        F.coalesce(c["c_custkey"], agg["o_custkey"]).alias("custkey"),
+        F.coalesce(c["c_name"], F.lit("unknown")).alias("name"),
+        F.coalesce(agg["n_orders"], F.lit(0)).alias("n_orders"),
+    )
+
+
+@_q(
+    "j4_day_index_lookup",
+    f"""WITH {SQL_COMMITS}, {SQL_SPINE}
+SELECT s.day_idx, CAST(COUNT(c.ts) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN commits c
+  ON c.repo = s.repo AND CAST(c.ts AS DATE) = s.cal_day
+GROUP BY s.day_idx""",
+)
+def j4(spark, sf_dir):
+    """J4 — day-index hash join against a generated day spine
+    (git/repo_activity.go:190-195)."""
+    from don_crawler_spark.operators.vitality import day_spine
+
+    commits = _commits(spark, sf_dir)
+    spine = day_spine(spark, commits, DAYS, NOW)
+    c = commits.select(
+        F.col("repo").alias("c_repo"), F.to_date("ts").alias("c_day"), "ts"
+    )
+    return (
+        spine.join(
+            c,
+            (spine["repo"] == c["c_repo"]) & (spine["cal_day"] == c["c_day"]),
+            "left",
+        )
+        .groupBy("day_idx")
+        .agg(F.count("ts").alias("n_events"))
+    )
+
+
+@_q(
+    "j7_last_activity_coalesce",
+    """WITH ship AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS last_ship FROM lineitem
+  GROUP BY l_orderkey)
+SELECT o.o_orderkey,
+       COALESCE(s.last_ship, o.o_orderdate) AS last_activity
+FROM orders o LEFT JOIN ship s ON o.o_orderkey = s.l_orderkey""",
+)
+def j7(spark, sf_dir):
+    """J7 — last-activity fallback chain (crawler/crawler.go:566-592)."""
+    o = load(spark, sf_dir, "orders")
+    ship = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    return o.join(ship, o["o_orderkey"] == ship["l_orderkey"], "left").select(
+        "o_orderkey",
+        F.coalesce(ship["last_ship"], o["o_orderdate"]).alias("last_activity"),
+    )
+
+
+# --- F-family: filters / predicates (SURVEY.md §2.3) -------------------------
+
+
+@_q(
+    "f1_host_dispatch",
+    """SELECT CASE WHEN p_type LIKE 'STANDARD%' THEN 'github'
+            WHEN p_type LIKE 'SMALL%' THEN 'bitbucket'
+            WHEN p_type LIKE 'MEDIUM%' THEN 'gitlab'
+            ELSE 'unsupported' END AS route,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY route""",
+)
+def f1(spark, sf_dir):
+    """F1 — host dispatch CASE routing with error side-output
+    (crawler/crawler.go:204-254)."""
+    p = load(spark, sf_dir, "part")
+    route = (
+        F.when(F.col("p_type").startswith("STANDARD"), "github")
+        .when(F.col("p_type").startswith("SMALL"), "bitbucket")
+        .when(F.col("p_type").startswith("MEDIUM"), "gitlab")
+        .otherwise("unsupported")
+    )
+    return p.groupBy(route.alias("route")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "f2_name_skip_filter",
+    """SELECT p_partkey, p_name FROM part
+WHERE NOT (lower(regexp_replace(p_name, '\\.git$', '')) LIKE '%metallic')
+  AND len(string_split(p_name, ' ')) >= 2""",
+)
+def f2(spark, sf_dir):
+    """F2/F6 — name-based skip + shape validation
+    (scanner/github.go:112-125, 66-69)."""
+    p = load(spark, sf_dir, "part")
+    cleaned = F.lower(F.regexp_replace("p_name", r"\.git$", ""))
+    return p.filter(
+        (~cleaned.endswith("metallic"))
+        & (F.size(F.split("p_name", " ")) >= 2)
+    ).select("p_partkey", "p_name")
+
+
+@_q(
+    "f7_nullout_degrade",
+    """SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                       THEN o_orderpriority END) AS BIGINT) AS n_urgent
+FROM orders GROUP BY o_orderstatus""",
+)
+def f7(spark, sf_dir):
+    """F7/P11 — degrade-don't-drop: null the field, keep the row
+    (crawler/crawler.go:449-482)."""
+    o = load(spark, sf_dir, "orders")
+    nulled = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.col("o_orderpriority")
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nulled).alias("n_urgent"),
+    )
+
+
+# --- X-family: scalar functions (SURVEY.md §2.8) -----------------------------
+
+
+@_q(
+    "x2_title_from_name",
+    """SELECT p_partkey,
+       p_brand || '/' || p_name AS full_name,
+       string_split(p_brand || '/' || p_name, '/')[-1] AS title
+FROM part""",
+)
+def x2(spark, sf_dir):
+    """X2 — path.Base (crawler/crawler.go:484-490)."""
+    from don_crawler_spark.functions.urls import title_from_repository_name
+
+    p = load(spark, sf_dir, "part")
+    full = F.concat_ws("/", "p_brand", "p_name")
+    return p.select(
+        "p_partkey",
+        full.alias("full_name"),
+        title_from_repository_name(full).alias("title"),
+    )
+
+
+@_q(
+    "x3_ensure_description",
+    """SELECT doc_id,
+       COALESCE(NULLIF(source, 'src0'), NULLIF(lang, 'en'),
+                'No description provided') AS description
+FROM documents""",
+)
+def x3(spark, sf_dir):
+    """X3 — empty-as-null coalesce chain (crawler/crawler.go:716-730)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            F.nullif("source", F.lit("src0")),
+            F.nullif("lang", F.lit("en")),
+            F.lit("No description provided"),
+        ).alias("description"),
+    )
+
+
+@_q(
+    "x4_split_full_name",
+    """SELECT p_partkey, full_name,
+       CASE WHEN len(string_split(full_name, '/')) = 1 THEN ''
+            ELSE regexp_replace(full_name, '/[^/]*$', '') END AS vendor,
+       string_split(full_name, '/')[-1] AS repo
+FROM (SELECT p_partkey, p_brand || '/' || p_type || '/' || p_name AS full_name
+      FROM part)""",
+)
+def x4(spark, sf_dir):
+    """X4 — SplitFullName (common/split_fullname.go:12-24)."""
+    from don_crawler_spark.functions.urls import split_full_name
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.concat_ws("/", "p_brand", "p_type", "p_name").alias("full_name"),
+    )
+    vendor, repo = split_full_name(F.col("full_name"))
+    return p.select(
+        "p_partkey", "full_name", vendor.alias("vendor"), repo.alias("repo")
+    )
+
+
+@_q(
+    "x15_json_extract",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+FROM events""",
+)
+def x15(spark, sf_dir):
+    """X15 — JSON decode (apiclient/apiclient.go:277-287)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    )
+
+
+# --- U-family: set operations (SURVEY.md §2.7) -------------------------------
+
+
+@_q(
+    "u1_union_seeds",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+  SELECT event_type FROM events WHERE event_type = 'error'
+  UNION ALL
+  SELECT event_type FROM events WHERE value > 50.0
+) GROUP BY event_type""",
+)
+def u1(spark, sf_dir):
+    """U1/U2 — union of seed branches (cmd/crawl.go:55-62,
+    crawler/crawler.go:199-255)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select("event_type")
+    b = ev.filter(F.col("value") > 50.0).select("event_type")
+    return a.unionByName(b).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "u3_upsert_except_union",
+    """WITH updated AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+SELECT c.c_custkey,
+       CASE WHEN u.c_custkey IS NOT NULL THEN 'updated' ELSE 'kept' END
+         AS upsert_action
+FROM customer c LEFT JOIN updated u ON c.c_custkey = u.c_custkey""",
+)
+def u3(spark, sf_dir):
+    """U3 — upsert = (existing EXCEPT matched) UNION updated
+    (cmd/download_publishers.go:63-84)."""
+    c = load(spark, sf_dir, "customer")
+    updated = c.filter(F.col("c_acctbal") > 5000.0).select(
+        F.col("c_custkey").alias("u_custkey")
+    )
+    return c.join(updated, c["c_custkey"] == updated["u_custkey"], "left").select(
+        "c_custkey",
+        F.when(updated["u_custkey"].isNotNull(), "updated")
+        .otherwise("kept")
+        .alias("upsert_action"),
+    )
+
+
+# --- dedup family (training-data operators) ----------------------------------
+
+
+@_q(
+    "dedup_exact",
+    f"""WITH {SQL_DOCS_WITH_DUPS}
+SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc_id
+FROM (SELECT doc_id, md5(text) AS fingerprint FROM docs_with_dups)
+GROUP BY fingerprint HAVING COUNT(*) > 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: md5 fingerprint clusters (dup-injected input so the
+    operator has real work)."""
+    return DD.exact_duplicates(_docs_with_dups(spark, sf_dir))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM documents
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b,
+       ROUND(shared / (sa.n + sb.n - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / (sa.n + sb.n - shared) >= 0.2""",
+)
+def dedup_ngram(spark, sf_dir):
+    """Near-dup pairs by exact 3-gram-shingle Jaccard."""
+    return DD.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM documents
+),
+sigs AS (
+  SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS band) b
+  GROUP BY doc_id, b.band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+       AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b)
+SELECT c.doc_a, c.doc_b,
+       ROUND(s.shared / (sa.n + sb.n - s.shared), 6) AS jaccard
+FROM cand c
+JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE s.shared / (sa.n + sb.n - s.shared) >= 0.1""",
+)
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH: banded md5 min-signatures -> bucket join -> exact
+    Jaccard verification."""
+    return DD.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), n=3, bands=8, verify_threshold=0.1
+    )
+
+
+@_q("dedup_simhash", None)  # bit-level numpy kernel: rows-only check
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Charikar 2002), Hamming-banded."""
+    return DD.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q(
+    "dedup_embedding_cosine",
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+      >= 0.5""",
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    return SIM.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.5
+    )
+
+
+# --- similarity search -------------------------------------------------------
+
+
+@_q(
+    "ann_topk_bruteforce",
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cosine
+  FROM embeddings c, q WHERE q.vec_id <> c.vec_id)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+)
+def ann_brute(spark, sf_dir):
+    """Exact cosine top-k (brute force baseline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@_q("ann_lsh_bucketed", None)  # numpy LSH projection: rows-only check
+def ann_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-k (scale path; recall vs brute force
+    is pinned in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, k=10)
+
+
+# --- text stats ---------------------------------------------------------------
+
+
+@_q(
+    "text_token_count",
+    f"""SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS n_tokens
+FROM documents""",
+)
+def text_tokens(spark, sf_dir):
+    return TS.token_count(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_quality_score",
+    f"""SELECT doc_id, n_chars,
+       CAST(len({SQL_TOKENS}) AS INT) AS n_tokens,
+       ROUND(
+         0.4 * LEAST(1.0, len({SQL_TOKENS}) / 100.0)
+         + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                        / GREATEST(length(text), 1))
+         + 0.3 * LEAST(1.0,
+             len(list_filter({SQL_TOKENS},
+                 t -> list_contains(['the','a','of','and','to','in'], lower(t))))
+             / GREATEST(len({SQL_TOKENS}), 1) / 0.15), 6) AS quality
+FROM documents""",
+)
+def text_quality(spark, sf_dir):
+    return TS.quality_score(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_lang_id",
+    None,  # marker-argmax is expressible but brittle in SQL; rows-only
+)
+def text_langid(spark, sf_dir):
+    return TS.lang_id(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_fingerprint",
+    """SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents""",
+)
+def text_fp(spark, sf_dir):
+    return TS.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --- multimodal plumbing -------------------------------------------------------
+
+
+@_q(
+    "multimodal_resize_plan",
+    """WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST((doc_id * 37) % 1920 + 16 AS INT) AS width,
+         CAST((doc_id * 53) % 1080 + 16 AS INT) AS height
+  FROM documents)
+SELECT media_id, width, height,
+       CAST(CEIL(width * LEAST(1.0, 512 / GREATEST(width, height)::DOUBLE)) AS INT)
+         AS out_width,
+       CAST(CEIL(height * LEAST(1.0, 512 / GREATEST(width, height)::DOUBLE)) AS INT)
+         AS out_height
+FROM media""",
+)
+def mm_resize(spark, sf_dir):
+    media = MM.make_fake_media(load(spark, sf_dir, "documents"))
+    return MM.resize_metadata(media, max_side=512)
+
+
+@_q(
+    "multimodal_frame_plan",
+    """WITH media AS (
+  SELECT doc_id AS media_id,
+         CAST((doc_id * 37) % 1920 + 16 AS INT) AS width
+  FROM documents)
+SELECT media_id, CAST(unnest(generate_series(0, width, 10)) AS INT)
+         AS frame_ts_sec
+FROM media""",
+)
+def mm_frames(spark, sf_dir):
+    media = MM.make_fake_media(load(spark, sf_dir, "documents"))
+    return MM.frame_sample_plan(media, every_n_sec=10)
+
+
+@_q("multimodal_features", None)  # stubbed decode (sha256 fake): rows-only
+def mm_features(spark, sf_dir):
+    media = MM.make_fake_media(load(spark, sf_dir, "documents"))
+    return MM.extract_features(media)
+
+
+# --- the crawl itself (rows-only: corpus is engine-generated) -----------------
+
+
+@_q("crawl_trace", None)
+def crawl_trace(spark, sf_dir):
+    """End-to-end crawl over the deterministic synthetic corpus; the trace
+    is pinned exactly against the sequential oracle in
+    tests/test_crawl_parity.py (not SQL-expressible: iterative driver loop
+    + Bloom state)."""
+    import os
+
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+    from don_crawler_spark.plans.config import CrawlConfig
+    from don_crawler_spark.plans.driver import run_crawl
+    from don_crawler_spark.sources.synth import corpus_dir_for
+
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+    corpus = corpus_dir_for(base, n_pages=300)
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix="crawl_trace_")
+    cfg = CrawlConfig(max_rounds=4)
+    summary = run_crawl(spark, corpus, ckpt, cfg)
+    store = CheckpointStore(ckpt)
+    return store.read_all(spark, "trace", summary.rounds).orderBy(
+        "round", "seq_in_round"
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the vitality index (A1-A7 + J3) at sf0.001."""
+    return a7(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None}

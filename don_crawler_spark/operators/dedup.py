@@ -1,0 +1,242 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+The reference dedups work items by key (per-repo lock map,
+crawler/crawler.go:56-80; canonical clone URL identity); a web-text corpus
+additionally needs CONTENT dedup. Four families, each expressible as
+oracle-checkable DataFrame plans (no Python in the hot path except the
+vectorized SimHash kernel):
+
+  exact        hash-groupBy on a content fingerprint (md5)
+  ngram-jaccard word n-gram shingle sets, exact Jaccard via shingle join
+  minhash-LSH  per-band min-hash signatures -> bucket join -> verify
+  simhash      64-bit sign-aggregated token hashes (Charikar 2002),
+               Hamming-distance buckets (vectorized numpy kernel)
+  embedding    cosine near-dup over vector columns (see similarity.py)
+
+Scale notes: every family is built around one shuffle on a compact key
+(fingerprint / shingle / (band, signature) / simhash prefix). The pair
+verification joins are bounded by bucket size, and all thresholds cut
+BEFORE the pair join where possible. At 100 TB the shingle explode is the
+big intermediate — it is a map-side transform feeding a single
+groupBy(shingle), so AQE coalescing and salting the hottest shingles keep
+partitions even; no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def tokens_col(text: str = "text"):
+    """Whitespace tokens, empties removed — shared by every text operator
+    (and mirrored in the DuckDB oracles)."""
+    return F.filter(F.split(F.col(text), " "), lambda t: t != "")
+
+
+def shingles_col(n: int = 3, text: str = "text"):
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Exact-dup clusters: md5 fingerprint -> groupBy -> clusters with >1
+    member. Returns (fingerprint, n_docs, min_doc_id) per cluster."""
+    return (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """The dedup itself: keep the lowest doc_id per fingerprint."""
+    w_min = (
+        docs.select("doc_id", F.md5("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return docs.join(w_min, "doc_id", "left_semi")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
+
+    Plan: explode distinct shingles -> self-join on shingle (the ONLY
+    shuffle, keyed by shingle) -> per-pair shared count -> Jaccard filter.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + LSH candidate generation with exact verification.
+
+    Signature: per band b, sig_b(doc) = min over shingles s of
+    md5(b || ':' || s) — a deterministic, engine-portable min-hash (the
+    md5 hex string order IS the hash order, so DuckDB oracles reproduce
+    it bit-for-bit). Docs sharing any (band, sig) bucket become candidate
+    pairs; candidates are then verified with exact Jaccard, so LSH only
+    affects recall, never emits a false pair.
+
+    Scale: the bucket join is keyed by (band, signature) — tiny buckets;
+    the shingle explode is shared with the signature computation (one
+    pass). bands controls the recall/cost trade.
+    """
+    sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    sigs = (
+        sh.select("doc_id", "shingle", band)
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(":", F.col("band").cast("string"), "shingle")).alias(
+                "h"
+            ),
+        )
+        .groupBy("doc_id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    candidates = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"], "inner")
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# --- SimHash (vectorized kernel; no SQL-portable oracle — rows-only) -------
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Charikar simhash over whitespace tokens: per bit j, sum +-1 of token
+    hashes' bit j; simhash bit j = (sum > 0). Token hash: splitmix64 of
+    xxhash-free python hash? NO — must be deterministic across processes:
+    use md5's first 8 bytes (stable everywhere)."""
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = [w for w in t.split(" ") if w]
+        if not toks:
+            continue
+        hs = np.frombuffer(
+            b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8] for w in set(toks)),
+            dtype=">u8",
+        )
+        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
+            np.int32
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for j in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sim.astype(np.int64))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return _simhash_batch(text)
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, banded by pigeonhole:
+    d differing bits leave at least one of d+1 bands untouched, so the
+    band count adapts to max_hamming (4 bands of 16 bits for d<=3, 8x8
+    for d<=7, 16x4 for d<=15). Narrower bands -> more candidates -> the
+    exact Hamming filter does more work; candidates never escape it."""
+    n_bands = next(b for b in (4, 8, 16) if b >= max_hamming + 1)
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sim = docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "key"
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,89 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All native column expressions (codegen'd, no Python), each
+with an exact DuckDB-oracle counterpart in __spark_entry__.py.
+
+These extend the reference's text handling (README extraction + description
+fallbacks, crawler/crawler.go:671-746) to the corpus-hygiene operations a
+web-scale training-data pipeline runs after extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.dedup import tokens_col
+
+# tiny deterministic stopword lists per language (demo lexicons; a real
+# deployment would broadcast proper frequency tables — the PLAN is the same:
+# one map-side expression, no shuffle)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a", "value", "row"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "los", "y", "una"],
+    "nl": ["de", "het", "een", "van"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.size(tokens_col()).alias("n_tokens")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword heuristics -> [0, 1] score.
+
+    score = 0.4 * saturating length ratio (n_tokens / 100)
+          + 0.3 * (1 - punctuation char ratio)
+          + 0.3 * stopword hit ratio (capped at 3x expected 5%)
+    All doubles with identical formulas in the DuckDB oracle.
+    """
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - n_punct / F.greatest(n_chars, F.lit(1)))
+        + F.lit(0.3)
+        * F.least(F.lit(1.0), n_stop / F.greatest(n_tokens, F.lit(1)) / F.lit(0.15))
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: argmax over per-language hit counts; ties
+    and no-hits -> 'und'. Deterministic tie-break on language code order."""
+    toks = tokens_col()
+
+    def _hits(words: list[str]):
+        # NB: the lambda must be unary — F.filter passes (element, index)
+        # to two-argument lambdas.
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(words)))
+
+    scores = [(lang, _hits(words)) for lang, words in sorted(LANG_MARKERS.items())]
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    # first language (in sorted order) achieving the max wins
+    for lang, s in reversed(scores):
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized content fingerprint: lowercase, collapse whitespace,
+    md5. The dedup key for 'same text modulo formatting'."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
+    )
