@@ -20,7 +20,7 @@ executor memory after the host-equi join prunes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -39,38 +39,46 @@ def robots_allowed_py(
     return best_allow
 
 
+def compile_rules(robots: DataFrame) -> DataFrame:
+    """Aggregate a host's rules into ONE array column, sorted so the
+    winning rule is the first prefix match: longest prefix first, allow
+    before deny on length ties (RFC 9309 least-restrictive). The result
+    is a per-host dimension row — tiny, broadcastable."""
+    rule = F.struct(
+        (-F.length("path_prefix")).alias("neg_len"),
+        (~F.col("allow")).cast("int").alias("deny_rank"),
+        F.col("path_prefix").alias("path_prefix"),
+        F.col("allow").alias("allow"),
+    )
+    return robots.groupBy("host").agg(
+        F.sort_array(F.collect_list(rule)).alias("rules")
+    )
+
+
 def apply_robots_filter(
     frontier: DataFrame, robots: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
     """Split a frontier (with ``host`` and ``path`` columns) into
     (allowed, denied) by longest-prefix robots match.
 
-    The robots side is broadcast: it is a per-host dimension, never
-    frontier-sized. The window below runs per frontier row (partition key
-    includes url_hash), so it never shuffles more than the join output.
+    Entirely map-side after one broadcast hash join on host: the per-host
+    rule array is scanned with higher-order functions (filter +
+    element_at), so NO shuffle of the frontier happens here — at 10^10
+    frontier rows this stage costs one broadcast and one pass.
     """
-    r = robots.select(
-        F.col("host").alias("r_host"),
-        F.col("path_prefix"),
-        F.col("allow"),
+    compiled = compile_rules(robots)
+    joined = frontier.join(F.broadcast(compiled), "host", "left")
+    first_match = F.element_at(
+        F.filter(
+            F.col("rules"),
+            lambda r: F.col("path").startswith(r["path_prefix"]),
+        ),
+        1,
     )
-    joined = frontier.join(
-        F.broadcast(r),
-        (frontier["host"] == F.col("r_host"))
-        & frontier["path"].startswith(F.col("path_prefix")),
-        "left",
-    )
-    # longest prefix wins; tie -> allow (RFC 9309 least-restrictive)
-    w = Window.partitionBy("url_hash").orderBy(
-        F.length("path_prefix").desc_nulls_last(),
-        F.col("allow").desc_nulls_last(),
-    )
-    ranked = joined.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    )
-    resolved = ranked.withColumn(
-        "__allowed", F.coalesce(F.col("allow"), F.lit(True))
-    ).drop("r_host", "path_prefix", "allow", "__rn")
+    resolved = joined.withColumn(
+        "__allowed",
+        F.coalesce(first_match["allow"], F.lit(True)),
+    ).drop("rules")
     allowed = resolved.filter(F.col("__allowed")).drop("__allowed")
     denied = resolved.filter(~F.col("__allowed")).drop("__allowed")
     return allowed, denied

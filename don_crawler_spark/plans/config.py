@@ -32,6 +32,11 @@ class CrawlConfig:
     bloom_buckets: int = 32
     bloom_m_bits: int = 1 << 20
     bloom_num_hashes: int = 7
+    # per-page enrichment of the fetched table (simhash fingerprint +
+    # token/quality stats) — the dedup-ready outputs a training-data
+    # crawl pipeline produces; off by default (parity suites pin the
+    # lean schema), on in the throughput bench
+    enrich_fetched: bool = False
 
     def host_budget(self, crawl_delay_ms: int | None, max_per_round: int | None) -> int:
         delay = crawl_delay_ms if crawl_delay_ms else self.default_crawl_delay_ms

@@ -42,6 +42,7 @@ def run_crawl(
     corpus_dir: str,
     checkpoint_dir: str,
     config: CrawlConfig | None = None,
+    seed_urls: DataFrame | None = None,
 ) -> CrawlSummary:
     """Run (or resume) a crawl over a synth corpus directory.
 
@@ -62,8 +63,18 @@ def run_crawl(
     summary.resumed_from = start_round
 
     if start_round == 0:
-        seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
-        frontier = frontier_from_seeds(seeds)
+        if seed_urls is not None:
+            # caller-provided seed URL column (e.g. the saturation bench
+            # seeds the whole corpus at depth 0)
+            frontier = frontier_from_seeds(
+                seed_urls.select(
+                    F.col("url").alias("org_url"),
+                    F.array().cast("array<string>").alias("repo_urls"),
+                )
+            )
+        else:
+            seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+            frontier = frontier_from_seeds(seeds)
         # round 0 checkpoint: the seeded frontier (so round 1 is replayable)
         store.write_table(frontier, 0, "frontier")
         store.commit_round(0, {"seeded": True})
@@ -129,15 +140,9 @@ def run_crawl(
             )
             store.write_table(bloom_new, rnd, "seen_bloom")
 
-        trace_df = store.read_table(spark, rnd, "trace")
-        n_selected = trace_df.count()
-        if n_selected == 0:
-            # empty round: don't commit, don't continue (oracle breaks
-            # before emitting anything for an empty selection)
-            break
-        n_200 = trace_df.filter(F.col("status") == 200).count()
-
-        # per-partition lineage/counters (metrics table)
+        # per-partition lineage/counters (metrics table) — ONE job; the
+        # driver then sums the tiny result instead of issuing separate
+        # count jobs (each extra action costs a full job round-trip).
         metrics = (
             store.read_table(spark, rnd, "fetched")
             .groupBy(F.spark_partition_id().alias("partition_id"))
@@ -150,6 +155,13 @@ def run_crawl(
             .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
         )
         store.write_table(metrics, rnd, "metrics")
+        mrows = store.read_table(spark, rnd, "metrics").collect()
+        n_selected = sum(r["urls_fetched"] for r in mrows)
+        n_200 = sum(r["urls_200"] for r in mrows)
+        if n_selected == 0:
+            # empty round: don't commit, don't continue (oracle breaks
+            # before emitting anything for an empty selection)
+            break
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         store.commit_round(
@@ -164,6 +176,9 @@ def run_crawl(
         summary.urls_fetched += n_selected
         summary.urls_200 += n_200
         summary.wall_ms_per_round.append(wall_ms)
+
+        # round state is checkpointed; drop the round's persisted frames
+        spark.catalog.clearCache()
 
         frontier = store.read_table(spark, rnd, "frontier")
         seen = store.read_seen(spark, rnd)

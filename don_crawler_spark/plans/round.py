@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 
 from don_crawler_spark.functions.extract import (
     extract_description_udf,
-    parse_links_udf,
+    links_col,
 )
 from don_crawler_spark.functions.robots import apply_robots_filter
 from don_crawler_spark.functions.urls import (
@@ -131,6 +131,7 @@ def run_round(
     robots: DataFrame,
     host_budgets: DataFrame,
     bloom: DataFrame | None = None,
+    persist: bool = True,
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
@@ -206,13 +207,31 @@ def run_round(
     )
 
     # canonical global order within the round: (rank_in_host, host).
-    # Bounded input: ≤ Σ budgets rows (politeness backpressure).
+    # Bounded input: ≤ Σ budgets rows (politeness backpressure). The
+    # unpartitioned window collapses to one task — REPARTITION right
+    # after, or the fetch join and both Arrow UDFs inherit a single
+    # partition and the whole round serializes (measured: 32 cores ran
+    # SLOWER than 8 before this line).
     w_seq = Window.orderBy("rank_in_host", "host")
-    selected = selected.withColumn("seq_in_round", F.row_number().over(w_seq))
+    selected = selected.withColumn(
+        "seq_in_round", F.row_number().over(w_seq)
+    ).repartition(F.col("url_hash"))
 
     # fetch = join against the pages table on the 8-byte hash (+ url equality
     # as a collision guard); left join keeps dead links as 404 rows (P11:
-    # degrade, don't drop — crawler/crawler.go:472-482)
+    # degrade, don't drop — crawler/crawler.go:472-482).
+    #
+    # JOIN SHAPE (the scale-critical decision): the selected set is
+    # politeness-bounded (≤ Σ host budgets per round) while pages is the
+    # whole corpus — so FIRST prune pages with a broadcast left-semi join
+    # on the selected keys (map-side scan, the corpus is never shuffled),
+    # THEN left-join the bounded slice back. Without this, the fetch join
+    # sort-merge-shuffles the full pages table (html payloads included)
+    # every round. At warehouse scale the same effect comes from
+    # bucket-pruned storage; the broadcast-semi form needs no layout.
+    if persist:
+        selected = selected.persist()
+    sel_keys = selected.select("url_hash", "url")
     p = pages.select(
         F.xxhash64("url").alias("p_hash"),
         F.col("url").alias("p_url"),
@@ -220,22 +239,20 @@ def run_round(
         "html",
         "lang",
     )
+    p_matched = p.join(
+        F.broadcast(sel_keys),
+        (p["p_hash"] == sel_keys["url_hash"]) & (p["p_url"] == sel_keys["url"]),
+        "left_semi",
+    )
     fetched_raw = selected.join(
-        p,
-        (selected["url_hash"] == p["p_hash"]) & (selected["url"] == p["p_url"]),
+        p_matched,
+        (selected["url_hash"] == p_matched["p_hash"])
+        & (selected["url"] == p_matched["p_url"]),
         "left",
     ).drop("p_hash", "p_url")
 
     fetched_raw = fetched_raw.withColumn(
         "status", F.when(F.col("html").isNull(), F.lit(404)).otherwise(F.lit(200))
-    )
-
-    trace = fetched_raw.select(
-        F.lit(rnd).alias("round"),
-        "seq_in_round",
-        "host",
-        "url",
-        "status",
     )
 
     # X1 extraction + link discovery — Arrow UDFs over fetched rows only
@@ -248,11 +265,27 @@ def run_round(
         "links",
         F.when(
             (F.col("status") == 200) & (F.col("depth") + 1 <= cfg.max_depth),
-            parse_links_udf(F.col("html")),
+            links_col(F.col("html")),
         ).otherwise(F.array().cast("array<string>")),
+    ).drop("html")  # never persist payloads past extraction
+
+    # The driver materializes four outputs from this DAG; without a cache
+    # each write would re-execute the joins/windows/UDFs from scratch.
+    # Persist the two frames every output derives from (the driver
+    # unpersists them once the round's checkpoint commits).
+    if persist:
+        enriched = enriched.persist()
+        deferred = deferred.persist()
+
+    trace = enriched.select(
+        F.lit(rnd).alias("round"),
+        "seq_in_round",
+        "host",
+        "url",
+        "status",
     )
 
-    fetched = enriched.select(
+    fetched_cols = [
         F.lit(rnd).alias("round"),
         "url",
         "status",
@@ -260,9 +293,26 @@ def run_round(
         "text",
         "lang",
         F.size("links").alias("n_links"),
-    )
+    ]
+    if cfg.enrich_fetched:
+        # dedup-ready page enrichment: simhash fingerprint (Arrow kernel)
+        # + token count + quality heuristics (codegen'd) per fetched page
+        from don_crawler_spark.operators.dedup import simhash_udf
 
-    seen_delta = selected.select(
+        toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        n_chars = F.length("text")
+        n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+        fetched_cols += [
+            simhash_udf(F.col("text")).alias("simhash"),
+            F.size(toks).alias("n_tokens"),
+            (
+                F.lit(0.5) * F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))
+                + F.lit(0.5) * (F.lit(1.0) - n_punct / F.greatest(n_chars, F.lit(1)))
+            ).alias("quality"),
+        ]
+    fetched = enriched.select(*fetched_cols)
+
+    seen_delta = enriched.select(
         "url_hash", "url", F.lit(rnd).alias("first_round")
     )
 

@@ -51,7 +51,11 @@ def _page_url(host: str, org: int, repo: int) -> str:
 
 
 def _make_html(
-    rng: random.Random, url: str, links: list[str], dead_links: list[str]
+    rng: random.Random,
+    url: str,
+    links: list[str],
+    dead_links: list[str],
+    extra_paragraphs: int = 0,
 ) -> str:
     """README-ish page with extractor edge cases and href out-links."""
     lines: list[str] = []
@@ -73,6 +77,11 @@ def _make_html(
     lines.append("")  # paragraph break
     lines.append(" ".join(rng.choice(WORDS) for _ in range(rng.randint(5, 30))))
     lines.append("")
+    # body bulk (post-paragraph content the extractor skips but the
+    # decoder/link-scanner still processes — page weight is realistic)
+    for _ in range(extra_paragraphs):
+        lines.append(" ".join(rng.choice(WORDS) for _ in range(60)))
+        lines.append("")
     # out-links section (scanned from the whole page, not just the paragraph)
     for href in links + dead_links:
         lines.append(f'<a href="{href}">{rng.choice(WORDS)}</a>')
@@ -89,6 +98,8 @@ def generate_corpus(
     out_degree: int = 4,
     dead_link_rate: float = 0.05,
     n_publishers: int = 8,
+    budget_scale: int = 1,
+    extra_paragraphs: int = 0,
 ) -> dict[str, str]:
     """Write the corpus tables as parquet; returns {table: path}.
 
@@ -135,9 +146,12 @@ def generate_corpus(
     delays = [250, 500, 1000, 2000]
     for host in hosts:
         delay = delays[rng.randrange(len(delays))]
-        # heavy host gets a generous budget so skew shows up in fetch work
+        # heavy host gets a generous budget so skew shows up in fetch work.
+        # budget_scale > 1 is the THROUGHPUT-BENCH mode: politeness caps
+        # are widened so the engine (not the budget arithmetic) is the
+        # bottleneck being measured; parity tests always use scale 1.
         max_round = 200 if host == hosts[0] else rng.choice([10, 25, 50])
-        budget_rows.append((host, delay, max_round))
+        budget_rows.append((host, delay, max_round * budget_scale))
 
     # --- link graph ----------------------------------------------------------
     links_of: list[list[str]] = []
@@ -179,7 +193,7 @@ def generate_corpus(
     langs: list[str] = []
     ts: list[dt.datetime] = []
     for i in range(n_pages):
-        html = _make_html(rng, urls[i], links_of[i], dead_of[i])
+        html = _make_html(rng, urls[i], links_of[i], dead_of[i], extra_paragraphs)
         htmls.append(html.encode("utf-8"))
         texts.append(description_from_readme(html))
         langs.append(rng.choice(LANGS))
@@ -189,7 +203,7 @@ def generate_corpus(
     # publishers point at early pages (hubs) so BFS coverage is wide; mirrors
     # common.Publisher (org URL + optional explicit repo URLs).
     seed_rows = []
-    hub_candidates = list(range(min(n_pages, 200)))
+    hub_candidates = list(range(min(n_pages, max(200, 2 * n_publishers))))
     rng.shuffle(hub_candidates)
     for p in range(n_publishers):
         org_page = hub_candidates[p % len(hub_candidates)]
@@ -220,8 +234,18 @@ def generate_corpus(
             "lang": pa.array(langs, pa.string()),
         }
     )
-    paths["pages"] = os.path.join(out_dir, "pages.parquet")
-    pq.write_table(pages_tbl, paths["pages"])
+    # MULTI-FILE dataset, not one fat file: Spark task reads of a single
+    # local parquet file serialize on the shared input stream (measured:
+    # 34s single-file vs 2s across 64 files for the same 1.4 GB scan) —
+    # and a sharded layout is what a 100 TB corpus looks like anyway.
+    pages_dir = os.path.join(out_dir, "pages.parquet")
+    os.makedirs(pages_dir, exist_ok=True)
+    rows_per_file = 25_000
+    n_files = max(1, (n_pages + rows_per_file - 1) // rows_per_file)
+    for k in range(n_files):
+        chunk = pages_tbl.slice(k * rows_per_file, rows_per_file)
+        pq.write_table(chunk, os.path.join(pages_dir, f"part-{k:05d}.parquet"))
+    paths["pages"] = pages_dir
 
     seeds_tbl = pa.table(
         {
@@ -258,12 +282,15 @@ def generate_corpus(
     return paths
 
 
-def corpus_dir_for(base_dir: str, n_pages: int, seed: int = 42) -> str:
-    """Generate-once cache: corpora are pure functions of (n_pages, seed)."""
-    out = os.path.join(base_dir, f"corpus_n{n_pages}_s{seed}")
+def corpus_dir_for(
+    base_dir: str, n_pages: int, seed: int = 42, **kwargs
+) -> str:
+    """Generate-once cache: corpora are pure functions of their params."""
+    suffix = "".join(f"_{k}{v}" for k, v in sorted(kwargs.items()))
+    out = os.path.join(base_dir, f"corpus_n{n_pages}_s{seed}{suffix}")
     marker = os.path.join(out, "_COMPLETE")
     if not os.path.exists(marker):
-        generate_corpus(out, n_pages=n_pages, seed=seed)
+        generate_corpus(out, n_pages=n_pages, seed=seed, **kwargs)
         with open(marker, "w") as fh:
             fh.write("ok\n")
     return out
