@@ -794,8 +794,9 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= 0.5""",
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (brute-force baseline)."""
-    return SIM.embedding_near_dup_pairs(
+    """Embedding-cosine near-dup pairs — blocked-GEMM all-pairs kernel
+    (the expression-only baseline lives in operators/similarity.py)."""
+    return SIM.embedding_near_dup_pairs_gemm(
         load(spark, sf_dir, "embeddings"), threshold=0.5
     )
 

@@ -15,7 +15,12 @@ cluster size (no task-order dependence).
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
+
+# the crawl clock: round r spans [epoch + (r-1)*round_budget_ms, ...) —
+# a deterministic stand-in for wall time, shared by engine and oracle
+CRAWL_EPOCH = dt.datetime(2026, 1, 1, 0, 0, 0)
 
 
 @dataclass(frozen=True)
@@ -38,7 +43,23 @@ class CrawlConfig:
     # lean schema), on in the throughput bench
     enrich_fetched: bool = False
 
-    def host_budget(self, crawl_delay_ms: int | None, max_per_round: int | None) -> int:
+    def round_ts(self, rnd: int) -> dt.datetime:
+        """Start instant of round ``rnd`` (1-based) on the crawl clock."""
+        return CRAWL_EPOCH + dt.timedelta(milliseconds=(rnd - 1) * self.round_budget_ms)
+
+    def host_budget(
+        self,
+        crawl_delay_ms: int | None,
+        max_per_round: int | None,
+        not_before_ts: dt.datetime | None = None,
+        rnd: int = 1,
+    ) -> int:
+        """Per-round quota; 0 while the host is backing off (P2/P4/P10 —
+        the reference's shared rate-limit reset state,
+        scanner/github.go:26-29,329-357: once a reset hint is recorded,
+        every worker skips the host until it passes)."""
+        if not_before_ts is not None and not_before_ts > self.round_ts(rnd):
+            return 0
         delay = crawl_delay_ms if crawl_delay_ms else self.default_crawl_delay_ms
         cap = max_per_round if max_per_round else self.default_max_per_round
         return min(cap, self.round_budget_ms // delay)

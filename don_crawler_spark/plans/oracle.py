@@ -56,15 +56,16 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
     ):
         robots.setdefault(h, []).append((p, a))
     budgets_tbl = pq.read_table(f"{corpus_dir}/host_budgets.parquet").to_pydict()
-    budget_of: dict[str, int] = {
-        h: cfg.host_budget(d, m)
-        for h, d, m in zip(
+    nbts = budgets_tbl.get("not_before_ts") or [None] * len(budgets_tbl["host"])
+    budget_params: dict[str, tuple] = {
+        h: (d, m, nb)
+        for h, d, m, nb in zip(
             budgets_tbl["host"],
             budgets_tbl["crawl_delay_ms"],
             budgets_tbl["max_per_round"],
+            nbts,
         )
     }
-    default_budget = cfg.host_budget(None, None)
 
     # frontier: url -> (depth, src_url); dedup keeps tuple-min (engine:
     # min(struct(depth, src_url)) per url_hash)
@@ -108,7 +109,8 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
         selected: list[tuple[int, str, str]] = []  # (rank_in_host, host, url)
         for host, rows in by_host.items():
             rows.sort()
-            budget = budget_of.get(host, default_budget)
+            d, m, nb = budget_params.get(host, (None, None, None))
+            budget = cfg.host_budget(d, m, nb, rnd)
             for rank, (_d, _h, url) in enumerate(rows[:budget], start=1):
                 selected.append((rank, host, url))
         if not selected:

@@ -114,12 +114,20 @@ def _dedup_frontier(frontier: DataFrame) -> DataFrame:
     )
 
 
-def _budget_expr(cfg: CrawlConfig):
-    """budget(host) = min(max_per_round, round_budget_ms / crawl_delay_ms)
-    — MUST be the same arithmetic as CrawlConfig.host_budget."""
+def _budget_expr(cfg: CrawlConfig, rnd: int, has_not_before: bool):
+    """budget(host) = min(max_per_round, round_budget_ms / crawl_delay_ms),
+    or 0 while the host backs off (not_before_ts > round start) — MUST be
+    the same arithmetic as CrawlConfig.host_budget."""
     delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(cfg.default_crawl_delay_ms))
     cap = F.coalesce(F.col("max_per_round"), F.lit(cfg.default_max_per_round))
-    return F.least(cap.cast("long"), F.floor(F.lit(cfg.round_budget_ms) / delay))
+    budget = F.least(cap.cast("long"), F.floor(F.lit(cfg.round_budget_ms) / delay))
+    if has_not_before:
+        budget = F.when(
+            F.col("not_before_ts").isNotNull()
+            & (F.col("not_before_ts") > F.lit(cfg.round_ts(rnd))),
+            F.lit(0).cast("long"),
+        ).otherwise(budget)
+    return budget
 
 
 def run_round(
@@ -173,7 +181,10 @@ def run_round(
     allowed, denied = apply_robots_filter(f, robots)
 
     # politeness budget: broadcast host dimension + per-host ranked cut (T5)
-    b = host_budgets.select("host", _budget_expr(cfg).alias("budget"))
+    has_not_before = "not_before_ts" in host_budgets.columns
+    b = host_budgets.select(
+        "host", _budget_expr(cfg, rnd, has_not_before).alias("budget")
+    )
     allowed = allowed.join(F.broadcast(b), "host", "left").withColumn(
         "budget",
         F.coalesce(

@@ -142,8 +142,11 @@ def generate_corpus(
         denied_prefixes.setdefault(host, []).append((prefix, allow))
 
     # --- host budgets -------------------------------------------------------
-    budget_rows: list[tuple[str, int, int]] = []
+    budget_rows: list[tuple[str, int, int, dt.datetime | None]] = []
     delays = [250, 500, 1000, 2000]
+    # two mid-list hosts start in backoff (P2/P4: a recorded rate-limit
+    # reset defers the whole host until the hint passes)
+    backoff_hosts = set(hosts[3:5])
     for host in hosts:
         delay = delays[rng.randrange(len(delays))]
         # heavy host gets a generous budget so skew shows up in fetch work.
@@ -151,7 +154,12 @@ def generate_corpus(
         # are widened so the engine (not the budget arithmetic) is the
         # bottleneck being measured; parity tests always use scale 1.
         max_round = 200 if host == hosts[0] else rng.choice([10, 25, 50])
-        budget_rows.append((host, delay, max_round * budget_scale))
+        not_before = (
+            dt.datetime(2026, 1, 1) + dt.timedelta(milliseconds=150_000)
+            if host in backoff_hosts
+            else None
+        )
+        budget_rows.append((host, delay, max_round * budget_scale, not_before))
 
     # --- link graph ----------------------------------------------------------
     links_of: list[list[str]] = []
@@ -274,6 +282,9 @@ def generate_corpus(
             "host": pa.array([r[0] for r in budget_rows], pa.string()),
             "crawl_delay_ms": pa.array([r[1] for r in budget_rows], pa.int64()),
             "max_per_round": pa.array([r[2] for r in budget_rows], pa.int32()),
+            "not_before_ts": pa.array(
+                [r[3] for r in budget_rows], pa.timestamp("us")
+            ),
         }
     )
     paths["host_budgets"] = os.path.join(out_dir, "host_budgets.parquet")
