@@ -58,6 +58,17 @@ class CheckpointStore:
 
     # --- table paths ---------------------------------------------------------
 
+    # trace and seen_delta are PROJECTIONS of the per-round fetched_full
+    # fact table (same row set: the selected URLs) — derived at read time
+    # instead of written separately, so a round commits 2 big writes
+    # (fetched_full, frontier) instead of 4.
+    _VIRTUAL = {
+        "trace": ["round", "seq_in_round", "host", "url", "status"],
+        "seen_delta": ["url_hash", "url", "first_round"],
+        "fetched": None,  # = fetched_full minus engine-internal columns
+    }
+    _FETCHED_INTERNAL = {"seq_in_round", "host", "url_hash", "first_round"}
+
     def table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self.root, f"round={rnd:05d}", f"{name}.parquet")
 
@@ -65,29 +76,44 @@ class CheckpointStore:
         df.write.mode("overwrite").parquet(self.table_path(rnd, name))
 
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
+        # fetched_full is canonical for the virtual names — a same-named
+        # directory left by a crashed pre-consolidation run (or a partial
+        # write) must never shadow it
+        if name in self._VIRTUAL and os.path.exists(
+            self.table_path(rnd, "fetched_full")
+        ):
+            full = spark.read.parquet(self.table_path(rnd, "fetched_full"))
+            cols = self._VIRTUAL[name]
+            if cols is None:
+                cols = [c for c in full.columns if c not in self._FETCHED_INTERNAL]
+            return full.select(*cols)
         return spark.read.parquet(self.table_path(rnd, name))
 
-    def seen_paths(self, upto_round: int) -> list[str]:
-        """The seen-set is the union of per-round deltas (append-only —
-        each round writes O(new) rows, mirroring S8's incremental fetch)."""
-        return [
-            self.table_path(r, "seen_delta")
-            for r in range(1, upto_round + 1)
-            if os.path.exists(self.table_path(r, "seen_delta"))
-        ]
+    def _round_paths(self, name: str, upto_round: int) -> list[str]:
+        out = []
+        for r in range(1, upto_round + 1):
+            full = self.table_path(r, "fetched_full")
+            p = self.table_path(r, name)
+            if name in self._VIRTUAL and os.path.exists(full):
+                out.append(full)  # canonical; never shadowed (see read_table)
+            elif os.path.exists(p):
+                out.append(p)
+        return out
 
     def read_seen(self, spark: SparkSession, upto_round: int) -> DataFrame | None:
-        paths = self.seen_paths(upto_round)
+        """The seen-set is the union of per-round deltas (append-only —
+        each round writes O(new) rows, mirroring S8's incremental fetch)."""
+        paths = self._round_paths("fetched_full", upto_round)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*paths).select("url_hash", "url", "first_round")
 
     def read_all(self, spark: SparkSession, name: str, upto_round: int) -> DataFrame | None:
-        paths = [
-            self.table_path(r, name)
-            for r in range(1, upto_round + 1)
-            if os.path.exists(self.table_path(r, name))
-        ]
+        paths = self._round_paths(name, upto_round)
         if not paths:
             return None
-        return spark.read.parquet(*paths)
+        df = spark.read.parquet(*paths)
+        cols = self._VIRTUAL.get(name)
+        if cols is None and name in self._VIRTUAL:
+            cols = [c for c in df.columns if c not in self._FETCHED_INTERNAL]
+        return df.select(*cols) if cols else df

@@ -117,9 +117,7 @@ def run_crawl(
         out = run_round(cfg, rnd, frontier, seen, pages, robots, budgets, bloom=bloom)
 
         # Materialize in dependency order; manifest commit is the txn point.
-        store.write_table(out.trace, rnd, "trace")
-        store.write_table(out.fetched, rnd, "fetched")
-        store.write_table(out.seen_delta, rnd, "seen_delta")
+        store.write_table(out.fetched_full, rnd, "fetched_full")
         store.write_table(out.new_frontier, rnd, "frontier")
 
         if cfg.bloom_enabled:
