@@ -67,7 +67,16 @@ class CheckpointStore:
         "seen_delta": ["url_hash", "url", "first_round"],
         "fetched": None,  # = fetched_full minus engine-internal columns
     }
-    _FETCHED_INTERNAL = {"seq_in_round", "host", "url_hash", "first_round"}
+    # rows excluded from the seen projection: retriable 503 attempts
+    # (P6/P7 — they requeue, so they must stay invisible to the anti-join)
+    _SEEN_FILTER_COL = "__seen_eligible"
+    _FETCHED_INTERNAL = {
+        "seq_in_round",
+        "host",
+        "url_hash",
+        "first_round",
+        "__seen_eligible",
+    }
 
     def table_path(self, rnd: int, name: str) -> str:
         return os.path.join(self.root, f"round={rnd:05d}", f"{name}.parquet")
@@ -86,6 +95,8 @@ class CheckpointStore:
             cols = self._VIRTUAL[name]
             if cols is None:
                 cols = [c for c in full.columns if c not in self._FETCHED_INTERNAL]
+            if name == "seen_delta" and self._SEEN_FILTER_COL in full.columns:
+                full = full.filter(self._SEEN_FILTER_COL)
             return full.select(*cols)
         return spark.read.parquet(self.table_path(rnd, name))
 
@@ -106,13 +117,18 @@ class CheckpointStore:
         paths = self._round_paths("fetched_full", upto_round)
         if not paths:
             return None
-        return spark.read.parquet(*paths).select("url_hash", "url", "first_round")
+        df = spark.read.parquet(*paths)
+        if self._SEEN_FILTER_COL in df.columns:
+            df = df.filter(self._SEEN_FILTER_COL)
+        return df.select("url_hash", "url", "first_round")
 
     def read_all(self, spark: SparkSession, name: str, upto_round: int) -> DataFrame | None:
         paths = self._round_paths(name, upto_round)
         if not paths:
             return None
         df = spark.read.parquet(*paths)
+        if name == "seen_delta" and self._SEEN_FILTER_COL in df.columns:
+            df = df.filter(self._SEEN_FILTER_COL)
         cols = self._VIRTUAL.get(name)
         if cols is None and name in self._VIRTUAL:
             cols = [c for c in df.columns if c not in self._FETCHED_INTERNAL]

@@ -37,6 +37,12 @@ class CrawlConfig:
     bloom_buckets: int = 32
     bloom_m_bits: int = 1 << 20
     bloom_num_hashes: int = 7
+    # bounded retry of transient (503) fetches — P6/P7: the reference
+    # retries rate-limited requests up to 5 times then gives up
+    # (scanner/gitlab.go:23-26, crawler/crawler.go:27-29). A failed
+    # attempt requeues with attempts+1; past the budget the URL is
+    # abandoned (enters the seen-set so it is never retried).
+    max_retries: int = 5
     # per-page enrichment of the fetched table (simhash fingerprint +
     # token/quality stats) — the dedup-ready outputs a training-data
     # crawl pipeline produces; off by default (parity suites pin the

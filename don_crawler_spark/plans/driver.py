@@ -54,9 +54,14 @@ def run_crawl(
     cfg = config or CrawlConfig()
     store = CheckpointStore(checkpoint_dir)
 
+    import os
+
     pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
     robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
     budgets = spark.read.parquet(f"{corpus_dir}/host_budgets.parquet")
+    transient = None
+    if os.path.exists(f"{corpus_dir}/transient.parquet"):
+        transient = spark.read.parquet(f"{corpus_dir}/transient.parquet")
 
     summary = CrawlSummary()
     start_round = store.latest_round()
@@ -114,7 +119,10 @@ def run_crawl(
 
     for rnd in range(start_round + 1, cfg.max_rounds + 1):
         t0 = time.monotonic()
-        out = run_round(cfg, rnd, frontier, seen, pages, robots, budgets, bloom=bloom)
+        out = run_round(
+            cfg, rnd, frontier, seen, pages, robots, budgets,
+            bloom=bloom, transient=transient,
+        )
 
         # Materialize in dependency order; manifest commit is the txn point.
         store.write_table(out.fetched_full, rnd, "fetched_full")

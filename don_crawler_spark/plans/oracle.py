@@ -49,6 +49,12 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
         u: h for u, h in zip(pages_tbl["url"], pages_tbl["html"])
     }
     seeds_tbl = pq.read_table(f"{corpus_dir}/seeds.parquet").to_pydict()
+    import os
+
+    transient: dict[str, int] = {}
+    if os.path.exists(f"{corpus_dir}/transient.parquet"):
+        t_tbl = pq.read_table(f"{corpus_dir}/transient.parquet").to_pydict()
+        transient = dict(zip(t_tbl["url"], t_tbl["fail_rounds"]))
     robots_tbl = pq.read_table(f"{corpus_dir}/robots.parquet").to_pydict()
     robots: dict[str, list[tuple[str, bool]]] = {}
     for h, p, a in zip(
@@ -68,8 +74,10 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
     }
 
     # frontier: url -> (depth, src_url); dedup keeps tuple-min (engine:
-    # min(struct(depth, src_url)) per url_hash)
+    # min(struct(depth, src_url)) per url_hash). Retry counts merge by
+    # max, tracked separately (engine: max(attempts) in the dedup agg).
     frontier: dict[str, tuple[int, str]] = {}
+    attempts: dict[str, int] = {}
 
     def add_frontier(url: str, depth: int, src: str) -> None:
         cur = frontier.get(url)
@@ -119,15 +127,33 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
         selected.sort(key=lambda t: (t[0], t[1]))
         # 4. fetch + extract + discover
         depth_of = {url: depth for url, depth, _src in allowed}
+        src_of = {url: src for url, _d, src in allowed}
         n_200 = 0
         n_links = 0
+        n_503 = 0
         for seq, (rank, host, url) in enumerate(selected, start=1):
             html = pages.get(url)
-            status = 200 if html is not None else 404
-            res.trace.append((rnd, seq, host, url, status))
-            res.seen[url] = (xxhash64_str(url), rnd)
-            frontier.pop(url, None)
             if html is None:
+                status = 404
+            elif url in transient and rnd <= transient[url]:
+                status = 503
+            else:
+                status = 200
+            res.trace.append((rnd, seq, host, url, status))
+            frontier.pop(url, None)
+            if status == 503:
+                # P6/P7 bounded retry: requeue with attempts+1 until the
+                # budget is exhausted, then abandon (enters seen)
+                n_503 += 1
+                a = attempts.get(url, 0) + 1
+                if a <= cfg.max_retries:
+                    attempts[url] = a
+                    add_frontier(url, depth_of[url], src_of[url])
+                else:
+                    res.seen[url] = (xxhash64_str(url), rnd)
+                continue
+            res.seen[url] = (xxhash64_str(url), rnd)
+            if status == 404:
                 continue
             n_200 += 1
             res.text[url] = description_from_readme(
@@ -147,6 +173,7 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
                 "robots_denied": n_denied,
                 "selected": len(selected),
                 "fetched_200": n_200,
+                "fetched_503": n_503,
                 "links_emitted": n_links,
             }
         )

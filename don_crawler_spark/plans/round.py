@@ -55,7 +55,7 @@ from don_crawler_spark.functions.urls import (
 )
 from don_crawler_spark.plans.config import CrawlConfig
 
-FRONTIER_COLS = ["url_hash", "url", "host", "path", "depth", "src_url"]
+FRONTIER_COLS = ["url_hash", "url", "host", "path", "depth", "src_url", "attempts"]
 
 # pre-cut salt factor for the budget window (see module docstring)
 _BUDGET_PRECUT_SALTS = 8
@@ -92,6 +92,7 @@ def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
         .withColumn("path", path_col(F.col("url")))
         .withColumn("depth", F.lit(0))
         .withColumn("src_url", F.lit(""))
+        .withColumn("attempts", F.lit(0))
         .select(FRONTIER_COLS)
     )
 
@@ -102,7 +103,11 @@ def _dedup_frontier(frontier: DataFrame) -> DataFrame:
     map-side combine before one shuffle on url_hash."""
     return (
         frontier.groupBy("url_hash")
-        .agg(F.min(F.struct("depth", "src_url", "url", "host", "path")).alias("m"))
+        .agg(
+            F.min(F.struct("depth", "src_url", "url", "host", "path")).alias("m"),
+            # retry counts survive duplicate discoveries (max-merge)
+            F.max("attempts").alias("attempts"),
+        )
         .select(
             "url_hash",
             F.col("m.url").alias("url"),
@@ -110,6 +115,7 @@ def _dedup_frontier(frontier: DataFrame) -> DataFrame:
             F.col("m.path").alias("path"),
             F.col("m.depth").alias("depth"),
             F.col("m.src_url").alias("src_url"),
+            "attempts",
         )
     )
 
@@ -140,6 +146,7 @@ def run_round(
     host_budgets: DataFrame,
     bloom: DataFrame | None = None,
     persist: bool = True,
+    transient: DataFrame | None = None,
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
@@ -159,7 +166,7 @@ def run_round(
 
         probe_schema = (
             "url_hash long, url string, host string, path string, "
-            "depth int, src_url string, maybe_seen boolean"
+            "depth int, src_url string, attempts int, maybe_seen boolean"
         )
         bucket = F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets)).cast("int")
         probed = (
@@ -276,14 +283,43 @@ def run_round(
         "left",
     ).drop("p_hash", "p_url")
 
-    enriched = fetched_raw.withColumn(
-        "status", F.when(F.col("text").isNull(), F.lit(404)).otherwise(F.lit(200))
-    ).withColumn(
-        "links",
-        F.when(
-            (F.col("status") == 200) & (F.col("depth") + 1 <= cfg.max_depth),
-            F.col("links"),
-        ).otherwise(F.array().cast("array<string>")),
+    # status: no page -> 404 (dead link); transient window -> 503 (P6/P7
+    # retry path); else 200. 503 attempts yield no text/links.
+    status = F.when(F.col("text").isNull(), F.lit(404))
+    if transient is not None:
+        t = transient.select(
+            F.col("url").alias("t_url"), F.col("fail_rounds").alias("fail_rounds")
+        )
+        fetched_raw = fetched_raw.join(
+            F.broadcast(t), fetched_raw["url"] == t["t_url"], "left"
+        ).drop("t_url")
+        status = status.when(
+            F.col("fail_rounds").isNotNull() & (F.lit(rnd) <= F.col("fail_rounds")),
+            F.lit(503),
+        )
+    enriched = (
+        fetched_raw.withColumn("status", status.otherwise(F.lit(200)))
+        .withColumn(
+            "text",
+            F.when(F.col("status") == 200, F.col("text")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .withColumn(
+            "links",
+            F.when(
+                (F.col("status") == 200) & (F.col("depth") + 1 <= cfg.max_depth),
+                F.col("links"),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+        .withColumn(
+            # a 503 whose retry budget is not exhausted requeues and must
+            # NOT enter the seen-set; anything else (200, 404, exhausted
+            # 503) is final
+            "__seen_eligible",
+            (F.col("status") != 503)
+            | (F.col("attempts") + 1 > F.lit(cfg.max_retries)),
+        )
     )
 
     # The driver materializes the outputs of this DAG; without a cache
@@ -304,6 +340,8 @@ def run_round(
         "url_hash",
         F.lit(rnd).alias("first_round"),
         "status",
+        "attempts",
+        "__seen_eligible",
         F.col("warc_ts").alias("fetch_ts"),
         "text",
         "lang",
@@ -341,18 +379,29 @@ def run_round(
             path_col(F.col("l_url")).alias("path"),
             "depth",
             "src_url",
+            F.lit(0).alias("attempts"),
         )
     )
 
-    # next frontier: deferred rows keep their place; new links join them.
-    # Both are scrubbed against the updated seen-set now (cheaper than
-    # carrying rows that next round's anti-join would drop anyway).
+    # next frontier: deferred rows keep their place; new links join them;
+    # retriable 503s requeue with attempts+1. All scrubbed against the
+    # updated seen-set (which excludes the retriable 503s by definition).
+    retry = enriched.filter(~F.col("__seen_eligible")).select(
+        "url_hash",
+        "url",
+        "host",
+        "path",
+        "depth",
+        "src_url",
+        (F.col("attempts") + 1).alias("attempts"),
+    )
     seen_now = seen.select("url_hash").unionByName(
-        fetched_full.select("url_hash")
+        fetched_full.filter(F.col("__seen_eligible")).select("url_hash")
     )
     new_frontier = (
         deferred.select(FRONTIER_COLS)
         .unionByName(new_links.select(FRONTIER_COLS))
+        .unionByName(retry.select(FRONTIER_COLS))
         .join(seen_now, "url_hash", "left_anti")
     )
 

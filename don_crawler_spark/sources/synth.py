@@ -100,6 +100,7 @@ def generate_corpus(
     n_publishers: int = 8,
     budget_scale: int = 1,
     extra_paragraphs: int = 0,
+    transient_rate: float = 0.03,
 ) -> dict[str, str]:
     """Write the corpus tables as parquet; returns {table: path}.
 
@@ -289,6 +290,24 @@ def generate_corpus(
     )
     paths["host_budgets"] = os.path.join(out_dir, "host_budgets.parquet")
     pq.write_table(budgets_tbl, paths["host_budgets"])
+
+    # transient failures: these URLs return 503 while rnd <= fail_rounds
+    # (the corpus-side stand-in for rate-limit/5xx responses the reference
+    # retries — scanner/gitlab.go:63-113, crawler/crawler.go:375-447)
+    t_urls: list[str] = []
+    t_rounds: list[int] = []
+    for u in urls:
+        if rng.random() < transient_rate:
+            t_urls.append(u)
+            t_rounds.append(rng.randint(1, 3))
+    transient_tbl = pa.table(
+        {
+            "url": pa.array(t_urls, pa.string()),
+            "fail_rounds": pa.array(t_rounds, pa.int32()),
+        }
+    )
+    paths["transient"] = os.path.join(out_dir, "transient.parquet")
+    pq.write_table(transient_tbl, paths["transient"])
 
     return paths
 

@@ -52,9 +52,19 @@ def test_oracle_sanity(oracle) -> None:
     assert oracle.rounds >= 3, "corpus should take several rounds"
     assert len(oracle.seen) > 100
     statuses = {s for (_, _, _, _, s) in oracle.trace}
-    assert statuses == {200, 404}, "dead links should appear as 404"
+    assert statuses == {200, 404, 503}, (
+        "dead links -> 404 and transient failures -> 503 should both occur"
+    )
     denied = sum(m["robots_denied"] for m in oracle.metrics)
     assert denied > 0, "robots rules should deny something"
+    retried = sum(m["fetched_503"] for m in oracle.metrics)
+    assert retried > 0, "transient failures should be exercised"
+    # a 503'd URL is retried and eventually succeeds — appears 2+ times
+    from collections import Counter
+
+    by_url = Counter(u for (_, _, _, u, _) in oracle.trace)
+    multi = [u for u, c in by_url.items() if c > 1]
+    assert multi, "at least one URL should be fetched more than once (retry)"
 
 
 def test_trace_matches_oracle(spark, engine_ckpt, oracle) -> None:
