@@ -1,0 +1,144 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans (broadcasts, pushdowns,
+partial aggregation, no corpus-side shuffle in the fetch join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(df) -> str:
+    """Execute first: under AQE, codegen/join choices only appear in the
+    final plan."""
+    df.write.mode("overwrite").format("noop").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_j1_broadcasts_the_dimension(spark) -> None:
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["j1_broadcast_enrichment"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the dimension (part) side is the build side, never shuffled
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark) -> None:
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["a6_range_scoring"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark) -> None:
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+    # column pruning: only the 2 projected columns are read
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_aggregation_is_partial_then_final(spark) -> None:
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = _plan(df)
+    # map-side combine before the exchange (two HashAggregate operators)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_fetch_join_never_shuffles_pages(spark, tmp_path) -> None:
+    """The round DAG's contract: the pages table appears below a
+    broadcast-semi join (map-side prune), never below a shuffle exchange
+    that carries html payloads."""
+    from don_crawler_spark.functions.bloom import BLOOM_SCHEMA
+    from don_crawler_spark.plans.config import CrawlConfig
+    from don_crawler_spark.plans.driver import _empty_seen
+    from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+    from don_crawler_spark.sources.synth import generate_corpus
+
+    corpus = str(tmp_path / "c")
+    generate_corpus(corpus, n_pages=150, n_hosts=6, seed=21, n_publishers=3)
+    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus}/robots.parquet")
+    budgets = spark.read.parquet(f"{corpus}/host_budgets.parquet")
+    seeds = spark.read.parquet(f"{corpus}/seeds.parquet")
+    out = run_round(
+        CrawlConfig(),
+        1,
+        frontier_from_seeds(seeds),
+        _empty_seen(spark),
+        pages,
+        robots,
+        budgets,
+        bloom=spark.createDataFrame([], BLOOM_SCHEMA),
+        persist=False,
+    )
+    plan = _optimized(out.fetched_full)
+    # the semi prune exists and is hinted broadcast
+    assert "LeftSemi" in plan
+    # html is pruned out of every post-extraction operator: the column
+    # survives only inside the scan->extract segment
+    final = _plan(out.fetched_full)
+    assert "html" in final  # read at the scan...
+    seg = final.split("Exchange")[0]  # ...but never above the last exchange
+    assert "html" not in seg
+
+
+def test_robots_filter_is_shuffle_free(spark) -> None:
+    from don_crawler_spark.functions.robots import apply_robots_filter
+
+    frontier = spark.createDataFrame(
+        [(1, "https://a.example/x", "a.example", "/x", 0, "", 0)],
+        "url_hash long, url string, host string, path string, depth int, src_url string, attempts int",
+    )
+    robots = spark.createDataFrame(
+        [("a.example", "/", True)], "host string, path_prefix string, allow boolean"
+    )
+    allowed, _denied = apply_robots_filter(frontier, robots)
+    plan = _plan(allowed)
+    # broadcast join; the frontier (streamed) side sits directly under it
+    # with no exchange — the only shuffle is the tiny per-host rule agg
+    assert "BroadcastHashJoin" in plan
+    streamed = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in streamed
+    assert "Scan" in streamed
+
+
+def test_no_python_udf_in_native_queries(spark) -> None:
+    """Queries documented as JVM-only must stay whole-stage-codegen'd."""
+    import __spark_entry__ as em
+
+    for name in ["t5_budget_rank", "j1_broadcast_enrichment", "text_fingerprint",
+                 "text_quality_score", "a7_vitality_index"]:
+        plan = _plan(em.queries()[name](spark, SF))
+        assert "EvalPython" not in plan, name
+
+
+def test_topk_uses_window_group_limit(spark) -> None:
+    """Catalyst pushes the rank<=k filter into a WindowGroupLimit
+    (partial+final top-k, the T1/T5 'PerPage: 1' pushdown analogue —
+    scanner/github.go:276-278)."""
+    import __spark_entry__ as em
+
+    plan = _plan(em.queries()["t5_budget_rank"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    assert plan.count("WindowGroupLimit") == 2  # Partial + Final
