@@ -312,6 +312,29 @@ def generate_corpus(
     return paths
 
 
+CORPUS_TABLES = (
+    "pages.parquet",
+    "seeds.parquet",
+    "robots.parquet",
+    "host_budgets.parquet",
+    "transient.parquet",
+)
+
+
+def _corpus_complete(out: str) -> bool:
+    """Marker AND every table present — a marker alone can outlive the data
+    if the directory is partially cleaned up between sessions."""
+    if not os.path.exists(os.path.join(out, "_COMPLETE")):
+        return False
+    for t in CORPUS_TABLES:
+        p = os.path.join(out, t)
+        if not os.path.exists(p):
+            return False
+        if os.path.isdir(p) and not os.listdir(p):
+            return False
+    return True
+
+
 def corpus_dir_for(
     base_dir: str, n_pages: int, seed: int = 42, **kwargs
 ) -> str:
@@ -319,7 +342,9 @@ def corpus_dir_for(
     suffix = "".join(f"_{k}{v}" for k, v in sorted(kwargs.items()))
     out = os.path.join(base_dir, f"corpus_n{n_pages}_s{seed}{suffix}")
     marker = os.path.join(out, "_COMPLETE")
-    if not os.path.exists(marker):
+    if not _corpus_complete(out):
+        if os.path.exists(marker):
+            os.remove(marker)
         generate_corpus(out, n_pages=n_pages, seed=seed, **kwargs)
         with open(marker, "w") as fh:
             fh.write("ok\n")
