@@ -308,6 +308,22 @@ def a9(spark, sf_dir):
     )
 
 
+@_q(
+    "a8_seed_cardinality",
+    """SELECT label, CAST(COUNT(*) AS BIGINT) AS n_seeds,
+       CAST(SUM(len(embedding)) AS BIGINT) AS n_elems
+FROM embeddings GROUP BY label""",
+)
+def a8(spark, sf_dir):
+    """A8 — seed cardinality: total work = sum over rows of array length
+    (reposNum += len(publisher.Repositories), crawler/crawler.go:157-162)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_seeds"),
+        F.sum(F.size("embedding")).alias("n_elems"),
+    )
+
+
 # --- T-family: sorts / limits / top-k (SURVEY.md §2.6) -----------------------
 
 
