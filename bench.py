@@ -213,32 +213,30 @@ def main() -> None:
         # driver's per-round commit latency — the number a multi-executor
         # cluster (rounds of 10^8 URLs, multi-second stages) approaches.
         from don_crawler_spark.functions.extract import (
-            extract_description_udf,
-            links_col,
+            extract_description_col,
+            links_native_col,
         )
-        from don_crawler_spark.functions.urls import resolve_and_canonicalize_udf
+        from don_crawler_spark.functions.urls import add_canonical_url
         from don_crawler_spark.operators.dedup import simhash_udf
         from pyspark.sql import functions as F
 
         corpus = bench_corpus(sf, args.pages)
         pages = spark.read.parquet(f"{corpus}/pages.parquet")
         pages.limit(2000).select(
-            extract_description_udf("html").alias("t")
+            simhash_udf(extract_description_col(F.col("html"))).alias("t")
         ).write.mode("overwrite").format("noop").save()  # warm workers
         n = pages.count()
         t0 = time.monotonic()
         enriched = pages.select(
             "url",
-            extract_description_udf("html").alias("text"),
-            links_col(F.col("html")).alias("links"),
+            extract_description_col(F.col("html")).alias("text"),
+            links_native_col(F.col("html")).alias("links"),
         ).withColumn("simhash", simhash_udf(F.col("text")))
-        links = enriched.select(
+        exploded = enriched.select(
             "url", "simhash", F.explode("links").alias("href")
-        ).select(
-            F.xxhash64(
-                resolve_and_canonicalize_udf(F.col("href"), F.col("url"))
-            ).alias("link_hash"),
-            "simhash",
+        )
+        links = add_canonical_url(exploded, "href", "url", "l_url").select(
+            F.xxhash64("l_url").alias("link_hash"), "simhash"
         )
         links.write.mode("overwrite").format("noop").save()
         wall = time.monotonic() - t0

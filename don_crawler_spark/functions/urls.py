@@ -84,6 +84,70 @@ def resolve_and_canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
     )
 
 
+# --- hybrid canonicalization: JVM fast path + Python fallback ---------------
+#
+# The generic canonicalizer above needs real URL parsing (userinfo, ports,
+# query re-encoding, dot segments) and stays a pandas UDF. But crawl link
+# traffic is overwhelmingly two trivial shapes — absolute http(s) URLs and
+# root-relative paths — which a handful of codegen'd regex expressions
+# canonicalize byte-identically. Splitting the dataflow (not a CASE
+# expression: Catalyst evaluates extracted Python UDFs for EVERY input row
+# regardless of the branch taken, so a `when(simple, jvm).otherwise(udf)`
+# would still ship all rows to Python) sends only the rare complex rows
+# through a Python worker. Parity of both paths against canonicalize_url
+# is pinned in tests/test_urls_hashing.py.
+
+# conservative "simple" shapes: no query/fragment/userinfo/port/whitespace,
+# ASCII host. Anything else falls back to the generic Python kernel.
+_ABS_SIMPLE_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[0-9A-Za-z.\-]+(/[^?#\s]*)?$"
+# (?!/): a '//host/path' href is a protocol-relative network reference
+# (urljoin swaps the authority), not a root-relative path — fallback.
+_REL_SIMPLE_RE = r"^/(?!/)[^?#\s]*$"
+
+
+def _strip_trailing_slashes(path: Column) -> Column:
+    # python kernel: path.rstrip('/') when it ends with '/', and bare '/'
+    # becomes '' — regexp '/+$' -> '' reproduces both
+    return F.regexp_replace(path, "/+$", "")
+
+
+def _abs_fast(href: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(href, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]*)", 1))
+    path = F.regexp_extract(href, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(/.*)?$", 1)
+    return F.concat(scheme, F.lit("://"), host, _strip_trailing_slashes(path))
+
+
+def _rel_fast(href: Column, base: Column) -> Column:
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/]*)", 1))
+    return F.concat(scheme, F.lit("://"), host, _strip_trailing_slashes(href))
+
+
+def add_canonical_url(df, href: str, base: str, out: str):
+    """df + column ``out`` = canonicalize_url(href, base) — JVM expressions
+    for simple shapes, pandas-UDF fallback for the rest (see module note).
+    Row order is NOT preserved (two-branch union); callers re-establish
+    order downstream, which the crawl round does by construction."""
+    # coalesce to false so NULL href/base rows take exactly one branch
+    # (the fallback) instead of failing both filters
+    is_abs = F.coalesce(F.col(href).rlike(_ABS_SIMPLE_RE), F.lit(False))
+    is_rel = F.coalesce(
+        F.col(href).rlike(_REL_SIMPLE_RE) & F.col(base).rlike(_ABS_SIMPLE_RE),
+        F.lit(False),
+    )
+    fast = df.filter(is_abs | is_rel).withColumn(
+        out,
+        F.when(is_abs, _abs_fast(F.col(href))).otherwise(
+            _rel_fast(F.col(href), F.col(base))
+        ),
+    )
+    slow = df.filter(~(is_abs | is_rel)).withColumn(
+        out, resolve_and_canonicalize_udf(F.col(href), F.col(base))
+    )
+    return fast.unionByName(slow)
+
+
 # --- JVM-side column helpers (no Python in the hot path) -------------------
 
 

@@ -44,14 +44,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from don_crawler_spark.functions.extract import (
-    extract_description_udf,
-    links_col,
+    extract_description_col,
+    links_native_col,
 )
 from don_crawler_spark.functions.robots import apply_robots_filter
 from don_crawler_spark.functions.urls import (
+    add_canonical_url,
     host_col,
     path_col,
-    resolve_and_canonicalize_udf,
 )
 from don_crawler_spark.plans.config import CrawlConfig
 
@@ -267,14 +267,16 @@ def run_round(
     # cross an exchange: only the extracted text + hrefs do (~6x fewer
     # bytes on this corpus; on real web data 10-100x). The semi-join
     # already bounded this to the politeness-selected rows, so no wasted
-    # extraction either.
+    # extraction either. Both kernels are JVM-native Catalyst expressions
+    # (functions/extract.py): html never enters a Python worker, the whole
+    # scan-extract-project pipeline stays in one codegen span.
     p_slim = p_matched.select(
         "p_hash",
         "p_url",
         "warc_ts",
         "lang",
-        extract_description_udf(F.col("html")).alias("text"),
-        links_col(F.col("html")).alias("links"),
+        extract_description_col(F.col("html")).alias("text"),
+        links_native_col(F.col("html")).alias("links"),
     )
     fetched_raw = selected.join(
         p_slim,
@@ -365,22 +367,19 @@ def run_round(
         ]
     fetched_full = enriched.select(*fetched_cols)
 
-    new_links = (
-        enriched.select("url", F.explode("links").alias("href"), "depth")
-        .select(
-            resolve_and_canonicalize_udf(F.col("href"), F.col("url")).alias("l_url"),
-            (F.col("depth") + 1).alias("depth"),
-            F.col("url").alias("src_url"),
-        )
-        .select(
-            F.xxhash64("l_url").alias("url_hash"),
-            F.col("l_url").alias("url"),
-            host_col(F.col("l_url")).alias("host"),
-            path_col(F.col("l_url")).alias("path"),
-            "depth",
-            "src_url",
-            F.lit(0).alias("attempts"),
-        )
+    exploded = enriched.select(
+        F.explode("links").alias("href"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("url").alias("src_url"),
+    )
+    new_links = add_canonical_url(exploded, "href", "src_url", "l_url").select(
+        F.xxhash64("l_url").alias("url_hash"),
+        F.col("l_url").alias("url"),
+        host_col(F.col("l_url")).alias("host"),
+        path_col(F.col("l_url")).alias("path"),
+        "depth",
+        "src_url",
+        F.lit(0).alias("attempts"),
     )
 
     # next frontier: deferred rows keep their place; new links join them;

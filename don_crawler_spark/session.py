@@ -48,6 +48,29 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
         shuffle_partitions = max(32, 2 * cpus)
+    # 16g (not larger): the heap is committed+pre-touched up front (see
+    # below), and pre-touch costs wall time proportional to heap size on
+    # this host. 16g comfortably fits 32 concurrent columnar-scan tasks
+    # plus the per-round persist() working set at bench scale.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+    # Python-worker allocator knobs — same pathology as the JVM heap note
+    # below, on the Python side: pymalloc arenas and Arrow's default pool
+    # unmap freed memory, so every Arrow batch re-faults pages; on this
+    # host page faults are expensive and kernel-serialized across
+    # processes (measured: extract UDF at local[16] spent 3.3 sys-cores
+    # vs 0.8 user-cores). Routing through glibc with trimming disabled
+    # keeps pages mapped once faulted (measured 107s -> 67s on the same
+    # job). Set in our environ so locally-forked pyspark.daemon workers
+    # inherit them; spark.executorEnv.* carries them on a real cluster.
+    worker_env = {
+        "PYTHONMALLOC": "malloc",
+        "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+        "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+        "ARROW_DEFAULT_MEMORY_POOL": "system",
+    }
+    for k, v in worker_env.items():
+        os.environ.setdefault(k, v)
 
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -63,8 +86,39 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
+        # FIXED, PRE-TOUCHED HEAP — load-bearing on virtualized hosts.
+        # Without -Xms, G1 starts tiny and repeatedly grows/uncommits the
+        # heap under columnar-binary scan churn; every re-commit faults
+        # pages back in, and on this microVM kernel a fault costs ~1-5
+        # µs/page (measured 200-900 MB/s zeroing), so an html-column scan
+        # burned 1200s of SYS time vs 28s of user time and local[16] ran
+        # 3x SLOWER than local[4]. A committed (-Xms=-Xmx) pre-touched
+        # heap faults each page exactly once at startup; the same scan
+        # then runs in 2-3s, stable across iterations. On a real cluster
+        # the equivalent is spark.executor.extraJavaOptions below.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+AlwaysPreTouch",
+        )
         .config("spark.ui.enabled", "false")
+        .config("spark.executorEnv.PYTHONMALLOC", worker_env["PYTHONMALLOC"])
+        .config(
+            "spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+            worker_env["MALLOC_MMAP_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+            worker_env["MALLOC_TRIM_THRESHOLD_"],
+        )
+        .config(
+            "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+            worker_env["ARROW_DEFAULT_MEMORY_POOL"],
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

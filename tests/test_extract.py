@@ -105,3 +105,105 @@ def test_spark_udf_byte_parity(spark) -> None:
     }
     for i, inp in enumerate(inputs):
         assert got[i].encode("utf-8") == description_from_readme(inp).encode("utf-8")
+
+
+def test_native_col_byte_parity(spark) -> None:
+    """The JVM-native extractor column (the hot path — no Python) is
+    byte-identical to the Python oracle on every hand case plus
+    adversarial shapes around the blank-line/slot-join arithmetic."""
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.extract import extract_description_col
+
+    inputs = [c for c, _ in CASES] + [
+        "\n", "\n\n", "a\n\n\n", "a\nb\nc\nd\n\n\n\n", "x\n" * 200,
+        "\r\n", "  \n", "a\n \nb\n\nc", "　full-width\nnext",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(inputs)], ["i", "html"])
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", extract_description_col(F.col("html"), binary=False).alias("t")
+        ).collect()
+    }
+    for i, inp in enumerate(inputs):
+        want = description_from_readme(inp)
+        assert got[i].encode("utf-8") == want.encode("utf-8"), (
+            repr(inp), repr(got[i]), repr(want))
+
+
+def test_native_col_hypothesis_parity(spark) -> None:
+    """Property: native column == oracle on random whitespace-heavy text."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.extract import extract_description_col
+
+    rng = random.Random(7)
+    alphabet = list("ab #<![\t\r\n   　\x1c") + ["\r\n"]
+    inputs = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(inputs)], ["i", "html"])
+    got = {
+        r["i"]: r["t"]
+        for r in df.select(
+            "i", extract_description_col(F.col("html"), binary=False).alias("t")
+        ).collect()
+    }
+    for i, inp in enumerate(inputs):
+        want = description_from_readme(inp)
+        assert got[i].encode("utf-8") == want.encode("utf-8"), (
+            repr(inp), repr(got[i]), repr(want))
+
+
+def test_native_links_parity(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.extract import links_native_col
+
+    inputs = [
+        '<a href="https://a.example/x">x</a> <a href="/rel">r</a>',
+        "no links here",
+        '<a href="">empty</a><a href="q?a=1&b=2">q</a>',
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(inputs)], ["i", "html"])
+    got = {
+        r["i"]: list(r["l"])
+        for r in df.select(
+            "i", links_native_col(F.col("html"), binary=False).alias("l")
+        ).collect()
+    }
+    for i, inp in enumerate(inputs):
+        assert got[i] == parse_links_py(inp), (inp, got[i])
+
+
+def test_native_col_binary_input(spark) -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from don_crawler_spark.functions.extract import (
+        extract_description_col,
+        links_native_col,
+    )
+
+    rows = [(0, 'pre\n<a href="u">u</a>\n\ntail'.encode()), (1, None)]
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("html", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = {
+        r["i"]: (r["t"], list(r["l"]))
+        for r in df.select(
+            "i",
+            extract_description_col(F.col("html")).alias("t"),
+            links_native_col(F.col("html")).alias("l"),
+        ).collect()
+    }
+    assert out[0][0] == description_from_readme(rows[0][1].decode())
+    assert out[0][1] == ['u']
+    assert out[1] == (None, [])

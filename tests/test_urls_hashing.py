@@ -142,3 +142,56 @@ def test_split_full_name(spark) -> None:
     assert out["repo"][3] == "example.org/repo"
     assert out["owner/repo"][3] == "example.org/owner/repo"
     assert out["group/subgroup/repo"][3] == "example.org/group/subgroup"
+
+
+def test_hybrid_canonical_matches_python(spark) -> None:
+    """add_canonical_url (JVM fast path ∪ Python fallback) must equal the
+    pure-Python canonicalizer byte-for-byte for every shape — simple ones
+    via the codegen'd branch, everything else via the UDF branch."""
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.urls import add_canonical_url
+
+    base = "https://Example.ORG/dir/page"
+    hrefs = [
+        # fast-path absolute shapes
+        "https://a.example/x", "HTTPS://A.Example/X/", "http://h",
+        "https://h/", "https://h/a//", "https://h///", "http://h/a%20b",
+        "https://h/.well-known/x", "https://h/a.b-c_d~e",
+        # fast-path root-relative shapes
+        "/abs", "/", "/a/b/", "/trailing///", "/%2Fesc",
+        # fallback shapes: query, fragment, port, userinfo, protocol-rel,
+        # relative-no-slash, whitespace, unicode host, dot segments
+        "https://h/p?b=2&a=1", "https://h/p#frag", "https://h:8080/p",
+        "https://u:pw@h/p", "//other.org/y", "sub/x", "../up",
+        "  https://h/sp  ", "https://ünïcode.example/p", "?q=1", "",
+        "https://h/p?", "x",
+    ]
+    from don_crawler_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, h, base) for i, h in enumerate(hrefs)], ["i", "href", "base"]
+    )
+    out = add_canonical_url(df, "href", "base", "c")
+    got = {r["i"]: r["c"] for r in out.collect()}
+    assert len(got) == len(hrefs), "rows lost or duplicated by the union split"
+    for i, h in enumerate(hrefs):
+        want = canonicalize_url(h, base)
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_hybrid_canonical_null_rows_survive(spark) -> None:
+    from pyspark.sql import types as T
+
+    from don_crawler_spark.functions.urls import add_canonical_url
+
+    schema = T.StructType([
+        T.StructField("i", T.IntegerType()),
+        T.StructField("href", T.StringType()),
+        T.StructField("base", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(0, None, "https://h/p"), (1, "/x", None), (2, None, None)], schema
+    )
+    out = add_canonical_url(df, "href", "base", "c").collect()
+    assert len(out) == 3
