@@ -663,6 +663,242 @@ def x15(spark, sf_dir):
     )
 
 
+# --- K1: the end-to-end repository record (the reference's POST payload) -----
+
+
+@_q(
+    "k1_repository_record",
+    """WITH repos AS (
+  SELECT user_id AS repo_id,
+         MIN(ts) AS created_at,
+         MAX(CASE WHEN event_type <> 'view' THEN ts END) AS last_commit,
+         MAX(CASE WHEN event_type = 'view' THEN ts END) AS api_last
+  FROM events GROUP BY user_id),
+flagged AS (
+  SELECT r.*,
+         'org' || CAST(repo_id % 10 AS VARCHAR) || '/repo'
+           || CAST(repo_id AS VARCHAR) AS full_name,
+         'https://gitlab.example/org' || CAST(repo_id % 10 AS VARCHAR)
+           || '/repo' || CAST(repo_id AS VARCHAR) AS url,
+         repo_id % 7 = 3 AS is_fork_raw,
+         repo_id % 11 = 5 AS private,
+         repo_id % 13 = 6 AS archived,
+         CASE WHEN repo_id % 17 = 0 THEN '' ELSE 'main' END AS default_branch
+  FROM repos r),
+kept AS (
+  SELECT * FROM flagged
+  WHERE NOT (private OR archived) AND default_branch <> ''),
+pub AS (
+  SELECT k.*, c.c_name,
+         CASE WHEN c.c_custkey % 3 = 0 THEN ''
+              ELSE 'https://org.example/' || CAST(c.c_custkey AS VARCHAR)
+         END AS organisation_url
+  FROM kept k JOIN customer c ON c.c_custkey = k.repo_id % 150 + 1),
+docs AS (SELECT doc_id, NULLIF(substr(text, 1, 80), '') AS description
+         FROM documents)
+SELECT p.url,
+       p.full_name AS name,
+       COALESCE(d.description,
+                'repo' || CAST(p.repo_id AS VARCHAR)) AS short_description,
+       CASE WHEN p.repo_id % 4 = 0
+            THEN p.url || '/raw/' || p.default_branch || '/publiccode.yml'
+       END AS publiccode_url,
+       p.is_fork_raw AS is_fork,
+       CASE WHEN p.organisation_url <> '' THEN p.organisation_url
+            ELSE p.c_name END AS organisation_uri,
+       p.created_at,
+       TIMESTAMP '2024-02-01 00:00:00' AS last_crawled_at,
+       COALESCE(p.last_commit, p.api_last, p.created_at) AS last_activity_at
+FROM pub p LEFT JOIN docs d ON d.doc_id = p.repo_id""",
+)
+def k1_record(spark, sf_dir):
+    """K1 — the composed ``repositoryRequest`` record
+    (apiclient/apiclient.go:55-65): X16 fork flag + F3 private/archived
+    skip + F4 branch skip + X2 title + X3 ensureDescription + X6 raw URL
+    + X11 orgURI + J7 last-activity chain over one repo dimension.
+    Everything the reference POSTs per repository, as one plan."""
+    from don_crawler_spark.functions.records import (
+        fork_flag,
+        gitlab_raw_url,
+        has_default_branch,
+        keep_public_active,
+        org_uri,
+    )
+    from don_crawler_spark.functions.urls import (
+        ensure_description,
+        title_from_repository_name,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    repos = ev.groupBy(F.col("user_id").alias("repo_id")).agg(
+        F.min("ts").alias("created_at"),
+        F.max(F.when(F.col("event_type") != "view", F.col("ts"))).alias(
+            "last_commit"
+        ),
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "api_last"
+        ),
+    )
+    rid = F.col("repo_id")
+    flagged = repos.select(
+        "*",
+        F.concat(
+            F.lit("org"), (rid % 10).cast("string"),
+            F.lit("/repo"), rid.cast("string"),
+        ).alias("full_name"),
+        F.concat(
+            F.lit("https://gitlab.example/org"), (rid % 10).cast("string"),
+            F.lit("/repo"), rid.cast("string"),
+        ).alias("url"),
+        (rid % 7 == 3).alias("is_fork_raw"),
+        (rid % 11 == 5).alias("private"),
+        (rid % 13 == 6).alias("archived"),
+        F.when(rid % 17 == 0, F.lit("")).otherwise(F.lit("main")).alias(
+            "default_branch"
+        ),
+    )
+    kept = flagged.filter(
+        keep_public_active(F.col("private"), F.col("archived"))
+        & has_default_branch(F.col("default_branch"))
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("https://org.example/"),
+                            F.col("c_custkey").cast("string")))
+        .alias("organisation_url"),
+    )
+    pub = kept.join(
+        F.broadcast(cust), cust["c_custkey"] == (rid % 150 + 1)
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif(F.substring("text", 1, 80), F.lit("")).alias("description")
+    )
+    title = title_from_repository_name(F.col("full_name"))
+    return pub.join(docs, docs["doc_id"] == pub["repo_id"], "left").select(
+        F.col("url"),
+        F.col("full_name").alias("name"),
+        ensure_description(
+            F.col("description"), title, F.col("full_name")
+        ).alias("short_description"),
+        F.when(
+            rid % 4 == 0,
+            gitlab_raw_url(F.col("url"), F.col("default_branch")),
+        ).alias("publiccode_url"),
+        fork_flag(F.col("is_fork_raw")).alias("is_fork"),
+        org_uri(F.col("organisation_url"), F.col("c_name")).alias(
+            "organisation_uri"
+        ),
+        F.col("created_at"),
+        F.lit(NOW).cast("timestamp").alias("last_crawled_at"),
+        F.coalesce("last_commit", "api_last", "created_at").alias(
+            "last_activity_at"
+        ),
+    )
+
+
+@_q(
+    "f5_gitlab_group",
+    """SELECT c_custkey, url,
+       CASE WHEN lower(CASE WHEN c_custkey % 2 = 0 THEN 'gitlab.com'
+                            ELSE 'git.example.org' END) = 'gitlab.com'
+              OR len(CASE WHEN c_custkey % 3 = 0 THEN ''
+                          ELSE '/group' || CAST(c_custkey AS VARCHAR) END) > 1
+            THEN TRUE ELSE FALSE END AS is_group
+FROM (
+  SELECT c_custkey,
+         'https://' || CASE WHEN c_custkey % 2 = 0 THEN 'gitlab.com'
+                            ELSE 'git.example.org' END
+           || CASE WHEN c_custkey % 3 = 0 THEN ''
+                   ELSE '/group' || CAST(c_custkey AS VARCHAR) END AS url
+  FROM customer)""",
+)
+def f5_group(spark, sf_dir):
+    """F5 — group-vs-user predicate (scanner/gitlab.go:253-261) over
+    synthesized on-prem/gitlab.com URLs."""
+    from don_crawler_spark.functions.records import is_gitlab_group
+
+    c = load(spark, sf_dir, "customer")
+    host = F.when(F.col("c_custkey") % 2 == 0, F.lit("gitlab.com")).otherwise(
+        F.lit("git.example.org")
+    )
+    path = F.when(F.col("c_custkey") % 3 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("/group"), F.col("c_custkey").cast("string"))
+    )
+    urls = c.select(
+        "c_custkey", F.concat(F.lit("https://"), host, path).alias("url")
+    )
+    return urls.select(
+        "c_custkey", "url", is_gitlab_group(F.col("url")).alias("is_group")
+    )
+
+
+@_q(
+    "x6_gitlab_raw_url",
+    """SELECT c_custkey,
+       regexp_replace('https://gitlab.example/g/p' ||
+                      CASE WHEN c_custkey % 5 = 0 THEN '/' ELSE '' END,
+                      '/+$', '')
+         || '/raw/' || CASE WHEN c_custkey % 2 = 0 THEN 'main' ELSE 'master' END
+         || '/publiccode.yml' AS raw_url
+FROM customer""",
+)
+def x6_raw(spark, sf_dir):
+    """X6 — generateGitlabRawURL (scanner/gitlab.go:315-324)."""
+    from don_crawler_spark.functions.records import gitlab_raw_url
+
+    c = load(spark, sf_dir, "customer")
+    base = F.concat(
+        F.lit("https://gitlab.example/g/p"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    branch = F.when(F.col("c_custkey") % 2 == 0, F.lit("main")).otherwise(
+        F.lit("master")
+    )
+    return c.select(
+        "c_custkey", gitlab_raw_url(base, branch).alias("raw_url")
+    )
+
+
+@_q(
+    "f9_header_sanitation",
+    # the oracle builds the same entries relationally and applies the
+    # same trim/empty predicates; the Spark side genuinely exercises
+    # MapType + map_filter (the survey's one MapType operator)
+    """SELECT p_partkey, key, value FROM (
+  SELECT p_partkey, 'x-brand' AS key, p_brand AS value FROM part
+  UNION ALL
+  SELECT p_partkey, CASE WHEN p_partkey % 3 = 0 THEN '  ' ELSE 'x-type' END,
+         p_type FROM part
+  UNION ALL
+  SELECT p_partkey, 'x-name',
+         CASE WHEN p_partkey % 2 = 0 THEN '' ELSE p_name END FROM part
+) WHERE trim(key) <> '' AND value <> ''""",
+)
+def f9_headers(spark, sf_dir):
+    """F9 — header sanitation via ``F.map_filter``
+    (crawler/crawler.go:355-361), exploded to rows for oracle hashing."""
+    from don_crawler_spark.functions.records import sanitize_headers
+
+    p = load(spark, sf_dir, "part")
+    headers = F.create_map(
+        F.lit("x-brand"), F.col("p_brand"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("  ")).otherwise(
+            F.lit("x-type")
+        ), F.col("p_type"),
+        F.lit("x-name"),
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("")).otherwise(
+            F.col("p_name")
+        ),
+    )
+    return (
+        p.select("p_partkey", sanitize_headers(headers).alias("h"))
+        .select("p_partkey", F.explode("h"))
+        .select("p_partkey", F.col("key"), F.col("value"))
+    )
+
+
 # --- U-family: set operations (SURVEY.md §2.7) -------------------------------
 
 
@@ -728,12 +964,14 @@ def dedup_exact(spark, sf_dir):
 
 @_q(
     "dedup_ngram_jaccard",
-    f"""WITH sh AS (
+    f"""WITH sh0 AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
       i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
   )) AS shingle FROM documents
 ),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 SEMI JOIN hot USING (shingle)),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
@@ -747,9 +985,11 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE shared / (sa.n + sb.n - shared) >= 0.2""",
 )
 def dedup_ngram(spark, sf_dir):
-    """Near-dup pairs by exact 3-gram-shingle Jaccard."""
+    """Near-dup pairs by exact 3-gram-shingle Jaccard over the df<=50
+    shingle universe (hot-shingle cap kills the f^2 blow-up; see
+    operators/dedup.py)."""
     return DD.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.2
+        load(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_df=50
     )
 
 
@@ -882,10 +1122,36 @@ def text_quality(spark, sf_dir):
     return TS.quality_score(load(spark, sf_dir, "documents"))
 
 
-@_q(
-    "text_lang_id",
-    None,  # marker-argmax is expressible but brittle in SQL; rows-only
-)
+def _langid_sql() -> str:
+    """DuckDB oracle generated from the SAME marker table as the Spark
+    impl (operators/textstats.py LANG_MARKERS) so they cannot drift."""
+    langs = sorted(TS.LANG_MARKERS.items())
+    hits = ",\n  ".join(
+        "len(list_filter(lt, x -> list_contains(["
+        + ", ".join(f"'{w}'" for w in words)
+        + f"], x))) AS h_{lang}"
+        for lang, words in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang, _ in langs) + ")"
+    # first language in sorted order achieving the max wins (ties break
+    # on language code order, exactly like the Spark reversed-loop CASE)
+    cases = "\n       ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang, _ in langs
+    )
+    return f"""WITH t AS (
+  SELECT doc_id, lang, list_transform({SQL_TOKENS}, x -> lower(x)) AS lt
+  FROM documents),
+s AS (SELECT doc_id, lang,
+  {hits}
+FROM t)
+SELECT doc_id, lang,
+  CASE WHEN {best} = 0 THEN 'und'
+       {cases}
+       ELSE 'und' END AS pred_lang
+FROM s"""
+
+
+@_q("text_lang_id", _langid_sql())
 def text_langid(spark, sf_dir):
     return TS.lang_id(load(spark, sf_dir, "documents"))
 
@@ -937,10 +1203,38 @@ def mm_frames(spark, sf_dir):
     return MM.frame_sample_plan(media, every_n_sec=10)
 
 
-@_q("multimodal_features", None)  # stubbed decode (sha256 fake): rows-only
+@_q(
+    "multimodal_features",
+    # the stub decode is sha256(payload) -> 16 little-endian uint16 words
+    # -> float32 in [0,1] (operators/multimodal.py:_decode_image), which
+    # DuckDB can replay hex-digit-wise; exploded to scalar rows so the
+    # driver's canonicalizer can sort/hash them (arrays are unhashable
+    # there — r01 `err`)
+    """WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE text IS NOT NULL),
+hx AS (
+  SELECT media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         sha256(text) AS h FROM media),
+dims AS (SELECT unnest(generate_series(0, 15)) AS dim)
+SELECT media_id, n_bytes, CAST(dim AS INT) AS dim,
+       ROUND(CAST(CAST(CAST(('0x' || substr(h, dim*4+1, 2)) AS INT)
+                     + 256 * CAST(('0x' || substr(h, dim*4+3, 2)) AS INT)
+                   AS DOUBLE) / 65535.0 AS FLOAT)::DOUBLE, 6) AS value
+FROM hx, dims""",
+)
 def mm_features(spark, sf_dir):
+    """Arrow-batched decode plumbing (stub kernel), exploded to
+    (media_id, n_bytes, dim, value) scalars for oracle hashing."""
     media = MM.make_fake_media(load(spark, sf_dir, "documents"))
-    return MM.extract_features(media)
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features")
+    ).select(
+        "media_id",
+        "n_bytes",
+        F.col("pos").cast("int").alias("dim"),
+        F.round(F.col("col").cast("double"), 6).alias("value"),
+    )
 
 
 # --- the crawl itself (rows-only: corpus is engine-generated) -----------------

@@ -213,8 +213,8 @@ def main() -> None:
         # driver's per-round commit latency — the number a multi-executor
         # cluster (rounds of 10^8 URLs, multi-second stages) approaches.
         from don_crawler_spark.functions.extract import (
-            extract_description_col,
             links_native_col,
+            with_extracted_description,
         )
         from don_crawler_spark.functions.urls import add_canonical_url
         from don_crawler_spark.operators.dedup import simhash_udf
@@ -222,16 +222,20 @@ def main() -> None:
 
         corpus = bench_corpus(sf, args.pages)
         pages = spark.read.parquet(f"{corpus}/pages.parquet")
-        pages.limit(2000).select(
-            simhash_udf(extract_description_col(F.col("html"))).alias("t")
+        with_extracted_description(pages.limit(2000), "html", "text").select(
+            simhash_udf(F.col("text")).alias("t")
         ).write.mode("overwrite").format("noop").save()  # warm workers
         n = pages.count()
         t0 = time.monotonic()
-        enriched = pages.select(
+        # persist() before add_canonical_url: the fast/slow branch split
+        # re-executes its input subtree per branch — without the cache the
+        # scan+extract+simhash pipeline would run twice (run_round persists
+        # the same way)
+        enriched = with_extracted_description(pages, "html", "text").select(
             "url",
-            extract_description_col(F.col("html")).alias("text"),
+            "text",
             links_native_col(F.col("html")).alias("links"),
-        ).withColumn("simhash", simhash_udf(F.col("text")))
+        ).withColumn("simhash", simhash_udf(F.col("text"))).persist()
         exploded = enriched.select(
             "url", "simhash", F.explode("links").alias("href")
         )
@@ -240,6 +244,7 @@ def main() -> None:
         )
         links.write.mode("overwrite").format("noop").save()
         wall = time.monotonic() - t0
+        enriched.unpersist()
         print(json.dumps({
             "stage_wall_sec": round(wall, 3),
             "urls": n,

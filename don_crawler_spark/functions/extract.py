@@ -184,8 +184,22 @@ def html_string_col(html):
 
 
 def _n_spaces(count):
-    """A string of ``count`` spaces (count is a Column; 0 -> '')."""
-    return F.array_join(F.array_repeat(F.lit(""), (count + F.lit(1)).cast("int")), " ")
+    """A string of ``count`` spaces (count is a Column; <=0 -> '')."""
+    return F.repeat(F.lit(" "), F.greatest(count, F.lit(0)).cast("int"))
+
+
+# One-pass whole-document line trim. (?d) = UNIX_LINES: ONLY \n acts as a
+# line terminator for ^/$ -- without it Java also treats \r, U+0085,
+# U+2028, U+2029 as line breaks, but those are ordinary Go-whitespace chars for the
+# reference's extractor (they trim mid-line, they don't split lines). The
+# class is the Go set MINUS \n so a run can never cross a line boundary.
+_GO_WS_CLASS_NO_NL = (
+    "[\\t\\x0B\\f\\r \\x85\\xA0\\u1680"
+    "\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+)
+_GO_TRIM_ALL_LINES_RE = (
+    f"(?md)^{_GO_WS_CLASS_NO_NL}+|{_GO_WS_CLASS_NO_NL}+$"
+)
 
 
 def extract_description_col(html, *, binary: bool = True):
@@ -200,26 +214,88 @@ def extract_description_col(html, *, binary: bool = True):
       k = 0 -> join(T, ' ')            (no blank line: all slots filled)
       k = 1 -> (n-1) spaces            (n empty slots, n-1 separators)
       k >= 2 -> join(T[1..k-1], ' ') + (n-k+1) spaces
+
+    PERF: trimming runs as ONE multiline regexp_replace over the whole
+    document instead of a per-line HOF (a ~100-line page used to pay ~100
+    regexp calls + UTF8String<->String conversions; one pass cut the
+    measured per-page extraction cost ~10x and the allocation churn with
+    it — load-bearing for the N->4N scaling criterion).
     """
     s = html_string_col(html) if binary else html
-    # \r\n|\n: leftmost-alternative preference makes this equivalent to
-    # replace(\r\n -> \n) followed by split(\n); limit -1 keeps trailing
-    # empty slots (they contribute join spaces).
-    lines = F.split(s, "\r\n|\n", -1)
-    trimmed = F.transform(lines, lambda l: F.regexp_replace(l, _GO_TRIM_RE, ""))
+    # normalize CRLF, then trim every line in one pass; split AFTER the
+    # trim so the array holds already-trimmed lines
+    t = F.regexp_replace(
+        F.regexp_replace(s, "\r\n", "\n"), _GO_TRIM_ALL_LINES_RE, ""
+    )
+    lines = F.split(t, "\n", -1)
     n = F.size(lines)
-    k = F.array_position(trimmed, "")
+    k = F.array_position(lines, "")
     return (
         F.when(s.isNull(), F.lit(None).cast("string"))
-        .when(k == 0, F.array_join(trimmed, " "))
+        .when(k == 0, F.array_join(lines, " "))
         .when(k == 1, _n_spaces(n - 1))
         .otherwise(
             F.concat(
-                F.array_join(F.slice(trimmed, 1, (k - 1).cast("int")), " "),
+                F.array_join(F.slice(lines, 1, (k - 1).cast("int")), " "),
                 _n_spaces(n - k + 1),
             )
         )
     )
+
+
+def with_extracted_description(df, html: str = "html", out: str = "text",
+                               *, binary: bool = True):
+    """X1 extraction as a staged two-projection plan — the hot-path form.
+
+    Same byte-exact semantics as ``extract_description_col`` (pinned
+    against it and the Python oracle in tests/test_extract.py), but
+    restructured for throughput:
+
+      * intermediates (normalized doc, first-blank-line position) are
+        materialized in a lower Project, so Catalyst cannot re-evaluate
+        the regex subtree once per CASE branch (CollapseProject refuses
+        to merge through non-cheap expressions — measured 5x);
+      * the go-trim regex runs over the FIRST PARAGRAPH only, not the
+        whole document: the reference's extractor stops at the first
+        blank line, and every line past it contributes exactly one join
+        space, which is arithmetic (line counting via translate/length),
+        not regex work. ``regexp_instr`` early-exits at the first blank
+        line, so per-page cost is O(first paragraph) + one cheap
+        newline-count pass (measured ~20x over the naive column form on
+        the bench corpus).
+
+    Internal columns are dropped before return.
+    """
+    s = html_string_col(F.col(html)) if binary else F.col(html)
+    d_ = F.regexp_replace(s, "\r\n", "\n")
+    staged = df.withColumn("__x1_d", d_).withColumn(
+        # 1-based char position of the first line whose go-trim is ""
+        # (0 = no blank line). (?d): only \n terminates a line, see
+        # _GO_TRIM_ALL_LINES_RE.
+        "__x1_p",
+        F.regexp_instr(F.col("__x1_d"), F.lit(f"(?dm)^{_GO_WS_CLASS_NO_NL}*$")),
+    )
+    d = F.col("__x1_d")
+    p = F.col("__x1_p")
+    count_nl = lambda c: (F.length(c) - F.length(F.translate(c, "\n", "")))
+    n = count_nl(d) + 1  # total lines
+    k = count_nl(F.substring(d, 1, p - 1)) + 1  # first blank line index
+    trim_join = lambda c: F.translate(
+        F.regexp_replace(c, _GO_TRIM_ALL_LINES_RE, ""), "\n", " "
+    )
+    desc = (
+        F.when(d.isNull(), F.lit(None).cast("string"))
+        .when(p == 0, trim_join(d))  # no blank line: trim+join everything
+        .when(p == 1, _n_spaces(n - 1))  # first line already blank
+        .otherwise(
+            # lines 1..k-1 end just before the (k-1)th \n at position p-1
+            F.concat(
+                trim_join(F.substring(d, 1, p - 2)),
+                _n_spaces(n - k + 1),
+            )
+        )
+    )
+    return staged.withColumn(out, desc).drop("__x1_d", "__x1_p")
 
 
 def links_native_col(html, *, binary: bool = True):

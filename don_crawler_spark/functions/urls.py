@@ -99,10 +99,27 @@ def resolve_and_canonicalize_udf(href: pd.Series, base: pd.Series) -> pd.Series:
 
 # conservative "simple" shapes: no query/fragment/userinfo/port/whitespace,
 # ASCII host. Anything else falls back to the generic Python kernel.
-_ABS_SIMPLE_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[0-9A-Za-z.\-]+(/[^?#\s]*)?$"
+#
+# Two divergence traps the char classes must close (both confirmed against
+# the Python oracle):
+#   * dot segments: urljoin resolves '/a/../b' -> '/b'; the fast path
+#     would emit it verbatim — reject any '.' / '..' path segment.
+#   * non-ASCII whitespace: Java's \s is ASCII-only while the oracle's
+#     str.strip() removes Unicode whitespace (U+00A0 etc) — restrict the
+#     path class to printable ASCII (\x21-\x7e minus '?' '#') so anything
+#     else falls back to Python.
+# \z (not $): Java's $ matches BEFORE a final line terminator (\n, \r,
+# U+0085, U+2028, U+2029), so '/p ' would pass an $-anchored check
+# and skip the Python fallback that strips/keeps such chars correctly.
+_NO_DOTSEG = r"(?!.*(?:^|/)\.\.?(?:/|\z))"
+_PATH_CHAR = r"[\x21\x22\x24-\x3e\x40-\x7e]"  # printable ASCII minus ? #
+_ABS_SIMPLE_RE = (
+    r"^" + _NO_DOTSEG
+    + r"[A-Za-z][A-Za-z0-9+.\-]*://[0-9A-Za-z.\-]+(/" + _PATH_CHAR + r"*)?\z"
+)
 # (?!/): a '//host/path' href is a protocol-relative network reference
 # (urljoin swaps the authority), not a root-relative path — fallback.
-_REL_SIMPLE_RE = r"^/(?!/)[^?#\s]*$"
+_REL_SIMPLE_RE = r"^" + _NO_DOTSEG + r"/(?!/)" + _PATH_CHAR + r"*\z"
 
 
 def _strip_trailing_slashes(path: Column) -> Column:

@@ -72,17 +72,36 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
 
     Plan: explode distinct shingles -> self-join on shingle (the ONLY
     shuffle, keyed by shingle) -> per-pair shared count -> Jaccard filter.
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_shingle_df``: drop shingles whose document frequency exceeds
+    the cap BEFORE the self-join — a shingle appearing in f documents
+    creates f^2 pair rows, so one boilerplate shingle turns the join
+    quadratic at corpus scale. With the cap the Jaccard is exact over
+    the df-filtered shingle universe (hot shingles leave the numerator
+    AND the per-doc sizes — CCNet-style semantics, mirrored in the
+    DuckDB oracle); pass None for the unfiltered metric.
     """
     sh = docs.select(
         "doc_id", F.explode(shingles_col(n)).alias("shingle")
     )
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -147,13 +166,42 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, n=n, threshold=0.0).select(
-        "doc_a", "doc_b", "jaccard"
+
+    # Verification must only PAY for candidate pairs (this is the whole
+    # point of LSH): semi-join the shingle table down to candidate doc
+    # ids first, so the exact-Jaccard self-join runs over the candidate
+    # slice instead of the full corpus, then keep only bucketed pairs.
+    # Per-pair shared counts are intrinsic to the pair, so the result is
+    # identical to verifying against the all-pairs join — the oracle SQL
+    # stays the plain formulation.
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    sh_c = sh.join(cand_ids, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ca = sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+    cb = sh_c.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        ca.join(cb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # prune to bucketed pairs BEFORE the per-pair aggregation
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        candidates.join(exact, ["doc_a", "doc_b"], "inner")
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
+        )
         .filter(F.col("jaccard") >= verify_threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -164,30 +212,62 @@ _SIMHASH_BITS = 64
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     """Charikar simhash over whitespace tokens: per bit j, sum +-1 of token
-    hashes' bit j; simhash bit j = (sum > 0). Token hash: splitmix64 of
-    xxhash-free python hash? NO — must be deterministic across processes:
-    use md5's first 8 bytes (stable everywhere)."""
+    hashes' bit j; simhash bit j = (sum > 0). Token hash: md5's first 8
+    bytes big-endian (deterministic across processes and engines).
+
+    Vectorized over the WHOLE Arrow batch (this kernel sits on the crawl's
+    enrich_fetched hot path): the only per-token Python left is one C
+    ``hashlib.md5`` call per *distinct token of the batch* (a shared
+    vocabulary — web text repeats tokens heavily, so this is far fewer
+    hashes than per-row hashing); bit unpacking, vote summation and bit
+    packing are numpy over the flattened batch. Values are identical to
+    the historical per-row kernel (pinned in tests/test_similarity_dedup).
+    """
     import hashlib
 
-    out = np.zeros(len(texts), dtype=np.int64)
+    n_rows = len(texts)
+    out = np.zeros(n_rows, dtype=np.int64)
+    # one flat index stream over a batch-shared vocabulary (set semantics
+    # per row — votes are order-free)
+    flat: list[int] = []
+    lens = np.zeros(n_rows, dtype=np.int64)
+    vocab: dict[str, int] = {}
+    vocab_get = vocab.get
     for i, t in enumerate(texts):
         if not t:
             continue
-        toks = [w for w in t.split(" ") if w]
+        toks = set(t.split(" "))
+        toks.discard("")
         if not toks:
             continue
-        hs = np.frombuffer(
-            b"".join(hashlib.md5(w.encode("utf-8")).digest()[:8] for w in set(toks)),
-            dtype=">u8",
-        )
-        bits = ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(
-            np.int32
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        for j in np.nonzero(votes > 0)[0]:
-            sim |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(sim.astype(np.int64))
+        lens[i] = len(toks)
+        for w in toks:
+            j = vocab_get(w)
+            if j is None:
+                j = len(vocab)
+                vocab[w] = j
+            flat.append(j)
+    if not vocab:
+        return pd.Series(out)
+    # one md5 per distinct token of the batch
+    md5 = hashlib.md5
+    digests = b"".join(md5(w.encode("utf-8")).digest()[:8] for w in vocab)
+    hs = np.frombuffer(digests, dtype=">u8")
+    # (V, 64) +-1 vote matrix, then one segment-sum per row (flat is
+    # grouped by row, so reduceat over running offsets does it)
+    votes_per_tok = (
+        2 * ((hs[:, None] >> np.arange(_SIMHASH_BITS, dtype=np.uint64)) & 1).astype(np.int32)
+        - 1
+    )
+    nz = np.nonzero(lens > 0)[0]
+    offsets = np.zeros(len(nz), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=offsets[1:])
+    votes = np.add.reduceat(
+        votes_per_tok[np.asarray(flat, dtype=np.int64)], offsets, axis=0
+    )
+    weights = np.uint64(1) << np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    sims = ((votes > 0).astype(np.uint64) * weights).sum(axis=1)
+    out[nz] = sims.astype(np.int64)
     return pd.Series(out)
 
 

@@ -104,48 +104,95 @@ def embedding_near_dup_pairs(
 
 
 def embedding_near_dup_pairs_gemm(
-    embeddings: DataFrame, threshold: float = 0.9, block: int = 4096
+    embeddings: DataFrame, threshold: float = 0.9, block: int = 4096,
+    n_vectors: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine via blocked BLAS matmul: the candidate side is
-    broadcast as one normalized float64 matrix; each Arrow batch multiplies
-    against it (25M dots = one GEMM call, ~1000x the per-pair fold).
+    """All-pairs cosine via a distributed block-nested-loop of BLAS
+    matmuls — EXACT (same result set as the expression baseline), with no
+    driver-side materialization of vectors.
 
-    Scale path: at 10^8+ vectors the right side is read in blocks from
-    storage instead of broadcast (block-nested-loop over bucketed
-    vectors) or pre-pruned with lsh_bucket_ids — same kernel, different
-    feed. BLAS accumulation order can differ from a sequential fold in
-    the last ulp; the 6-decimal rounding absorbs it (verified against
-    the DuckDB oracle at sf0.001 and sf0.01).
+    Plan: assign each vector a block id (vec_id-hash mod nblocks, blocks
+    sized ~``block`` rows); replicate each side over the upper-triangular
+    block-pair grid ((i, j), i <= j) with one explode; cogroup the two
+    replicated sides on the pair key; run one numpy GEMM per (i, j) group
+    and emit pairs over the threshold with vec_a < vec_b. Pair (x, y)
+    lands in exactly one group (min/max of their block ids), so no
+    dedup pass is needed.
+
+    Scale: replication factor is (nblocks+1)/2 per side — the intrinsic
+    cost of an exact all-pairs scan; the shuffle key is the block pair,
+    each task holds 2 x block x dim doubles. At 10^8+ vectors you don't
+    want exact all-pairs at all — prune with lsh_bucket_ids first and run
+    this same kernel per bucket (ann path); this operator is the exact
+    oracle-checkable form. BLAS accumulation order can differ from a
+    sequential fold in the last ulp; the 6-decimal rounding absorbs it
+    (verified against the DuckDB oracle at sf0.001/sf0.01).
+
+    ``n_vectors``: pass the (approximate) count if known to avoid the one
+    count() job used for block sizing.
     """
     import pandas as pd
+    from pyspark.sql import types as T
 
-    rows = embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    spark = embeddings.sparkSession
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-    b_norms = spark.sparkContext.broadcast(norms)
+    if n_vectors is None:
+        n_vectors = embeddings.count()  # one tiny job: a count, not a collect
+    nblocks = max(1, -(-n_vectors // block))
 
-    def kernel(batches):
-        all_ids, all_mat, all_norms = b_ids.value, b_mat.value, b_norms.value
-        for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(np.int64)
-            q = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            sims = (q @ all_mat.T) / (qn[:, None] * all_norms[None, :])
-            ii, jj = np.nonzero((sims >= threshold) & (q_ids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": q_ids[ii],
-                    "vec_b": all_ids[jj],
-                    "cosine": np.round(sims[ii, jj], 6),
-                }
+    e = embeddings.select("vec_id", "embedding").withColumn(
+        "__blk", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int")
+    )
+    # left side owns rows of block pairs (ba, bb) with ba = own block,
+    # bb >= ba; right side mirrors with bb = own block, ba <= bb
+    lhs = e.withColumn(
+        "__pair",
+        F.explode(F.transform(
+            F.sequence(F.col("__blk"), F.lit(nblocks - 1)),
+            lambda j: F.concat_ws(":", F.col("__blk").cast("string"), j.cast("string")),
+        )),
+    )
+    rhs = e.withColumn(
+        "__pair",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.col("__blk")),
+            lambda i: F.concat_ws(":", i.cast("string"), F.col("__blk").cast("string")),
+        )),
+    )
+
+    out_schema = "vec_a long, vec_b long, cosine double"
+
+    def gemm(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        i_blk, j_blk = key[0].split(":")
+        a_ids = left["vec_id"].to_numpy(np.int64)
+        b_ids = right["vec_id"].to_numpy(np.int64)
+        a = np.array(left["embedding"].tolist(), dtype=np.float64)
+        b = np.array(right["embedding"].tolist(), dtype=np.float64)
+        an = np.sqrt((a * a).sum(axis=1))
+        bn = np.sqrt((b * b).sum(axis=1))
+        sims = (a @ b.T) / (an[:, None] * bn[None, :])
+        if i_blk == j_blk:
+            # left set == right set: a<b picks each unordered pair once
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            )
+            va, vb = a_ids[ii], b_ids[jj]
+        else:
+            # disjoint blocks: every (x, y) crossing appears exactly once
+            # in this group — normalize the pair order by id
+            ii, jj = np.nonzero(sims >= threshold)
+            x, y = a_ids[ii], b_ids[jj]
+            va, vb = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame(
+            {"vec_a": va, "vec_b": vb, "cosine": np.round(sims[ii, jj], 6)}
+        )
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_a long, vec_b long, cosine double"
+    return (
+        lhs.groupBy("__pair")
+        .cogroup(rhs.groupBy("__pair"))
+        .applyInPandas(gemm, out_schema)
     )
 
 

@@ -44,8 +44,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from don_crawler_spark.functions.extract import (
-    extract_description_col,
     links_native_col,
+    with_extracted_description,
 )
 from don_crawler_spark.functions.robots import apply_robots_filter
 from don_crawler_spark.functions.urls import (
@@ -270,12 +270,12 @@ def run_round(
     # extraction either. Both kernels are JVM-native Catalyst expressions
     # (functions/extract.py): html never enters a Python worker, the whole
     # scan-extract-project pipeline stays in one codegen span.
-    p_slim = p_matched.select(
+    p_slim = with_extracted_description(p_matched, "html", "text").select(
         "p_hash",
         "p_url",
         "warc_ts",
         "lang",
-        extract_description_col(F.col("html")).alias("text"),
+        "text",
         links_native_col(F.col("html")).alias("links"),
     )
     fetched_raw = selected.join(

@@ -51,8 +51,17 @@ def get_spark(
     # 16g (not larger): the heap is committed+pre-touched up front (see
     # below), and pre-touch costs wall time proportional to heap size on
     # this host. 16g comfortably fits 32 concurrent columnar-scan tasks
-    # plus the per-round persist() working set at bench scale.
+    # plus the per-round persist() working set at bench scale. Clamped to
+    # what the host actually has (minus 4g headroom for Python workers +
+    # page cache) so small hosts still start.
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    try:
+        avail_g = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") // (1 << 30)
+        want_g = int(str(driver_mem).lower().rstrip("gm"))
+        if str(driver_mem).lower().endswith("g") and want_g > max(1, avail_g - 4):
+            driver_mem = f"{max(1, avail_g - 4)}g"
+    except (ValueError, OSError):
+        pass
 
     # Python-worker allocator knobs — same pathology as the JVM heap note
     # below, on the Python side: pymalloc arenas and Arrow's default pool
@@ -86,7 +95,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.memory", (extra_conf or {}).get(
+            "spark.driver.memory", driver_mem))
         # FIXED, PRE-TOUCHED HEAP — load-bearing on virtualized hosts.
         # Without -Xms, G1 starts tiny and repeatedly grows/uncommits the
         # heap under columnar-binary scan churn; every re-commit faults
@@ -97,9 +107,13 @@ def get_spark(
         # heap faults each page exactly once at startup; the same scan
         # then runs in 2-3s, stable across iterations. On a real cluster
         # the equivalent is spark.executor.extraJavaOptions below.
+        # -Xms derives from the FINAL resolved spark.driver.memory (an
+        # extra_conf override below would otherwise leave -Xms > -Xmx)
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+            "-Xms"
+            + (extra_conf or {}).get("spark.driver.memory", driver_mem)
+            + " -XX:+AlwaysPreTouch",
         )
         .config(
             "spark.executor.extraJavaOptions",

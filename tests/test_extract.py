@@ -207,3 +207,37 @@ def test_native_col_binary_input(spark) -> None:
     assert out[0][0] == description_from_readme(rows[0][1].decode())
     assert out[0][1] == ['u']
     assert out[1] == (None, [])
+
+
+def test_staged_extractor_byte_parity(spark) -> None:
+    """with_extracted_description (the staged two-projection hot path:
+    regexp_instr first-blank + prefix-only trim + arithmetic tail) is
+    byte-identical to the Python oracle on hand cases, adversarial
+    shapes, and random whitespace-heavy text."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.extract import with_extracted_description
+
+    rng = random.Random(13)
+    alphabet = list("ab #<![\t\r\n   　\x1c \x85\xa0") + ["\r\n"]
+    inputs = (
+        [c for c, _ in CASES]
+        + [
+            "\n", "\n\n", "a\n\n\n", "a\nb\nc\nd\n\n\n\n", "x\n" * 200,
+            "\r\n", "  \n", "a\n \nb\n\nc", "　full-width\nnext",
+            "", "a", "a\n", "\xa0\n x\n\ny", " \nx",
+        ]
+        + [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+            for _ in range(300)
+        ]
+    )
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(inputs)], ["i", "html"])
+    out = with_extracted_description(df, "html", "t", binary=False)
+    got = {r["i"]: r["t"] for r in out.select("i", "t").collect()}
+    for i, inp in enumerate(inputs):
+        want = description_from_readme(inp)
+        assert got[i].encode("utf-8") == want.encode("utf-8"), (
+            repr(inp), repr(got[i]), repr(want))

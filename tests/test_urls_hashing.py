@@ -166,6 +166,13 @@ def test_hybrid_canonical_matches_python(spark) -> None:
         "https://u:pw@h/p", "//other.org/y", "sub/x", "../up",
         "  https://h/sp  ", "https://ünïcode.example/p", "?q=1", "",
         "https://h/p?", "x",
+        # dot segments: urljoin resolves these; the fast path must NOT
+        # claim them (regression: ADVICE r01 — '/a/../b' fast-pathed)
+        "/a/../b", "/..", "/./x", "/a/.", "/a/b/..", "/.hidden",
+        "https://h/a/../b", "https://h/.", "https://h/x.y",
+        # Unicode whitespace: Python str.strip() removes U+00A0 / U+2028,
+        # Java \s (and now the printable-ASCII class) does not match them
+        "/a/b ", "https://h/p ", " /lead", "/p ",
     ]
     from don_crawler_spark.functions.urls import canonicalize_url
 
