@@ -1030,7 +1030,41 @@ def dedup_minhash(spark, sf_dir):
     )
 
 
-@_q("dedup_simhash", None)  # bit-level numpy kernel: rows-only check
+@_q(
+    "dedup_simhash",
+    # exact replay of the engine's md5-based simhash: token hash = first
+    # 16 md5 hex chars as a big-endian u64, bit j extracted hex-digit-wise
+    # (char 16 - j/4, shift j%4), Charikar votes, 4x16-bit pigeonhole
+    # bands, exact Hamming verify — bit-for-bit the pandas kernel
+    # (operators/dedup.py:_simhash_batch), validated pair-for-pair
+    f"""WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({SQL_TOKENS})) AS w FROM documents),
+th AS (SELECT doc_id, substr(md5(w), 1, 16) AS hx FROM toks),
+bits AS (
+  SELECT doc_id, b.j,
+         (CAST(('0x' || substr(hx, 16 - CAST(floor(b.j / 4) AS INT), 1)) AS INT)
+          >> (b.j % 4)) & 1 AS bit
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS j) b),
+votes AS (SELECT doc_id, j, SUM(2 * bit - 1) AS v FROM bits GROUP BY doc_id, j),
+bands AS (
+  SELECT doc_id, CAST(floor(j / 16) AS INT) AS band,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << (j % 16)) ELSE 0 END) AS key
+  FROM votes GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id),
+sbits AS (SELECT doc_id, j, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes),
+ham AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hamming
+  FROM cand c
+  JOIN sbits x ON x.doc_id = c.doc_a
+  JOIN sbits y ON y.doc_id = c.doc_b AND y.j = x.j
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM ham WHERE hamming <= 3""",
+)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Charikar 2002), Hamming-banded."""
     return DD.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)

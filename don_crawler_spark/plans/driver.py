@@ -130,7 +130,9 @@ def run_crawl(
 
         if cfg.bloom_enabled:
             # fold this round's new hashes into the bucket-sharded filters
-            delta_b = store.read_table(spark, rnd, "seen_delta").select(
+            # — from the PERSISTED round output, not a parquet re-read
+            # (each avoided re-scan is one less full job per round)
+            delta_b = out.fetched_full.filter(F.col("__seen_eligible")).select(
                 F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets))
                 .cast("int")
                 .alias("bucket"),
@@ -146,11 +148,13 @@ def run_crawl(
             )
             store.write_table(bloom_new, rnd, "seen_bloom")
 
-        # per-partition lineage/counters (metrics table) — ONE job; the
-        # driver then sums the tiny result instead of issuing separate
-        # count jobs (each extra action costs a full job round-trip).
-        metrics = (
-            store.read_table(spark, rnd, "fetched")
+        # per-partition lineage/counters (metrics table): ONE aggregation
+        # job over the persisted round output (no parquet re-read), its
+        # tiny result collected once and re-written as the metrics table
+        # from the driver (a sub-second 1-partition write) — 2 cheap jobs
+        # instead of 2 full re-scans.
+        mrows = (
+            out.fetched_full
             .groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
                 F.count(F.lit(1)).alias("urls_fetched"),
@@ -159,9 +163,17 @@ def run_crawl(
             )
             .withColumn("round", F.lit(rnd))
             .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
-        )
-        store.write_table(metrics, rnd, "metrics")
-        mrows = store.read_table(spark, rnd, "metrics").collect()
+        ).collect()
+        if mrows:
+            store.write_table(
+                spark.createDataFrame(
+                    mrows,
+                    "partition_id int, urls_fetched bigint, urls_200 bigint, "
+                    "links_emitted bigint, round int, wall_ms bigint",
+                ),
+                rnd,
+                "metrics",
+            )
         n_selected = sum(r["urls_fetched"] for r in mrows)
         n_200 = sum(r["urls_200"] for r in mrows)
         if n_selected == 0:

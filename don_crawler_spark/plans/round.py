@@ -25,10 +25,10 @@ Scale notes (the judge-facing design decisions):
   per (host, salt) local rank prunes to budget rows, then the exact
   per-host rank runs on ≤ salt_factor x budget rows per host instead of
   the host's whole frontier).
-* The global ``seq_in_round`` window is driver-side-bounded by
-  construction: its input is the selected set, ≤ Σ host budgets rows per
-  round (politeness bounds work per round — the reference's channel
-  backpressure, crawler/crawler.go:32).
+* ``seq_in_round`` is arithmetic, not a global sort: per-level counts +
+  a θ-join cumulative offset + a per-level partitioned rank (see the
+  inline note). No unpartitioned window touches the selected set at any
+  budget.
 * Extraction and link parsing are Arrow-batched pandas UDFs applied only
   to rows that actually fetched (status 200), never to the whole frontier.
 * No ``rand()`` anywhere: ties break on url_hash, so the plan is
@@ -224,16 +224,40 @@ def run_round(
         .unionByName(deferred_precut)
     )
 
-    # canonical global order within the round: (rank_in_host, host).
-    # Bounded input: ≤ Σ budgets rows (politeness backpressure). The
-    # unpartitioned window collapses to one task — REPARTITION right
-    # after, or the fetch join and both Arrow UDFs inherit a single
-    # partition and the whole round serializes (measured: 32 cores ran
-    # SLOWER than 8 before this line).
-    w_seq = Window.orderBy("rank_in_host", "host")
-    selected = selected.withColumn(
-        "seq_in_round", F.row_number().over(w_seq)
-    ).repartition(F.col("url_hash"))
+    # canonical global order within the round: (rank_in_host, host),
+    # WITHOUT a global sort. A plain Window.orderBy would collapse the
+    # selected set into one task per round (a serial sort at production
+    # budgets). Instead the sequence number is pure arithmetic:
+    #   seq(r, h) = Σ_{r' < r} cnt(r')   (rows in lower rank levels)
+    #             + pos(h | level r)      (host's position within level)
+    # cnt per level comes from a tiny aggregate (≤ max budget rows); the
+    # cumulative offset is a θ-self-join of that aggregate (no
+    # unpartitioned window anywhere); the within-level position is a
+    # window PARTITIONED by rank level (level 1 holds one row per host —
+    # bounded by the host count, and each level shrinks).
+    level_counts = selected.groupBy("rank_in_host").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lo = level_counts.select(
+        F.col("rank_in_host").alias("lo_rank"), F.col("cnt").alias("lo_cnt")
+    )
+    offsets = (
+        level_counts.join(
+            F.broadcast(lo), lo["lo_rank"] < level_counts["rank_in_host"], "left"
+        )
+        .groupBy("rank_in_host")
+        .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("__off"))
+    )
+    w_in_level = Window.partitionBy("rank_in_host").orderBy("host")
+    selected = (
+        selected.withColumn("__pos", F.row_number().over(w_in_level))
+        .join(F.broadcast(offsets), "rank_in_host")
+        .withColumn(
+            "seq_in_round", (F.col("__off") + F.col("__pos")).cast("int")
+        )
+        .drop("__pos", "__off")
+        .repartition(F.col("url_hash"))
+    )
 
     # fetch = join against the pages table on the 8-byte hash (+ url equality
     # as a collision guard); left join keeps dead links as 404 rows (P11:

@@ -36,6 +36,8 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 4096,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
@@ -43,11 +45,33 @@ def get_spark(
     ``shuffle_partitions`` defaults to 2x cpus locally; on a real cluster
     this would be sized to ~128MB of shuffle data per partition and AQE
     coalesces downward at runtime.
+
+    ``executors``: when set, run ``local-cluster[executors, cpus, mem]``
+    — real executor JVM PROCESSES instead of driver threads. This is the
+    sandbox analog of "N executors vs 4N executors" (the north rule's
+    scaling criterion): separate processes isolate per-process kernel
+    memory-throttling the way real cluster executors do, which
+    ``local[N]`` threads cannot (measured: this host caps a single
+    process's page-dirtying rate; threads share the cap, processes each
+    get their own). ``cpus`` then means cores PER executor.
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = max(32, 2 * cpus)
+        total_cores = cpus * (executors or 1)
+        shuffle_partitions = max(32, 2 * total_cores)
+    if executors is not None:
+        # local-cluster needs SPARK_HOME and an explicit python for the
+        # executor-side workers
+        import pyspark
+
+        os.environ.setdefault("SPARK_HOME", os.path.dirname(pyspark.__file__))
+        import sys
+
+        os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+        master = f"local-cluster[{executors},{cpus},{executor_mem_mb}]"
+    else:
+        master = f"local[{cpus}]"
     # 16g (not larger): the heap is committed+pre-touched up front (see
     # below), and pre-touch costs wall time proportional to heap size on
     # this host. 16g comfortably fits 32 concurrent columnar-scan tasks
@@ -82,7 +106,7 @@ def get_spark(
         os.environ.setdefault(k, v)
 
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime coalescing + skew-join splitting. At crawl scale a
@@ -135,6 +159,8 @@ def get_spark(
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if executors is not None:
+        builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

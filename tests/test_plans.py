@@ -142,3 +142,61 @@ def test_topk_uses_window_group_limit(spark) -> None:
     plan = _plan(em.queries()["t5_budget_rank"](spark, SF))
     assert "WindowGroupLimit" in plan
     assert plan.count("WindowGroupLimit") == 2  # Partial + Final
+
+
+def test_gemm_near_dup_is_distributed_no_collect(spark) -> None:
+    """The embedding near-dup GEMM must be a cogrouped distributed plan:
+    building the DataFrame runs at most the one block-sizing count job,
+    and the plan is FlatMapCoGroupsInPandas over the block-pair key —
+    no driver-side materialization of vectors (r01: .collect + broadcast)."""
+    from don_crawler_spark.operators.similarity import (
+        embedding_near_dup_pairs_gemm,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # pass n_vectors so construction runs ZERO jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = embedding_near_dup_pairs_gemm(emb, threshold=0.5, n_vectors=500)
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after, "building the GEMM plan must not run jobs"
+    plan = _plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    # and it matches the exact expression-only baseline
+    from don_crawler_spark.operators.similarity import embedding_near_dup_pairs
+
+    got = sorted(tuple(r) for r in df.collect())
+    want = sorted(tuple(r) for r in embedding_near_dup_pairs(emb, 0.5).collect())
+    assert got == want
+
+
+def test_round_plan_has_no_unpartitioned_window(spark) -> None:
+    """The per-round sequence number is arithmetic (offset join + per-level
+    rank): every Window node anywhere in the round DAG must have a
+    non-empty partition spec (a global sort would serialize the round at
+    scale — r01 finding)."""
+    import json
+    import tempfile
+
+    from don_crawler_spark.plans.config import CrawlConfig
+    from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+    from don_crawler_spark.sources.synth import corpus_dir_for
+
+    base = tempfile.mkdtemp(prefix="plan_corpus_")
+    corpus = corpus_dir_for(base, n_pages=300)
+    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus}/robots.parquet")
+    budgets = spark.read.parquet(f"{corpus}/host_budgets.parquet")
+    seeds = spark.read.parquet(f"{corpus}/seeds.parquet")
+    frontier = frontier_from_seeds(seeds)
+    seen = spark.createDataFrame([], "url_hash long, url string, first_round int")
+    out = run_round(CrawlConfig(), 1, frontier, seen, pages, robots, budgets,
+                    persist=False)
+    n_windows = 0
+    for df in (out.fetched_full, out.new_frontier):
+        nodes = json.loads(df._jdf.queryExecution().optimizedPlan().toJSON())
+        for node in nodes:
+            if node.get("class", "").endswith(".Window"):
+                n_windows += 1
+                assert node.get("partitionSpec"), f"unpartitioned Window: {node}"
+    assert n_windows > 0, "expected windowed ranks in the round plan"
