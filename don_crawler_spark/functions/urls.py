@@ -141,6 +141,21 @@ def _rel_fast(href: Column, base: Column) -> Column:
     return F.concat(scheme, F.lit("://"), host, _strip_trailing_slashes(href))
 
 
+def add_canonical_url_abs(df, url: str, out: str):
+    """df + column ``out`` = canonicalize_url(url) for base-less absolute
+    URLs (seed lists, frontiers): JVM fast path for the dominant simple
+    shape, pandas-UDF fallback for the rest. Same split rationale and
+    byte-parity contract as ``add_canonical_url`` (urljoin is the
+    identity on the fast-path shapes, so the abs kernel serves both the
+    with-base and base-less forms — pinned in tests)."""
+    is_abs = F.coalesce(F.col(url).rlike(_ABS_SIMPLE_RE), F.lit(False))
+    fast = df.filter(is_abs).withColumn(out, _abs_fast(F.col(url)))
+    slow = df.filter(~is_abs).withColumn(
+        out, canonicalize_url_udf(F.col(url))
+    )
+    return fast.unionByName(slow)
+
+
 def add_canonical_url(df, href: str, base: str, out: str):
     """df + column ``out`` = canonicalize_url(href, base) — JVM expressions
     for simple shapes, pandas-UDF fallback for the rest (see module note).

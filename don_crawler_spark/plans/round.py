@@ -77,15 +77,15 @@ def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
     explicit repository URL per publisher (crawler/crawler.go:199-255) —
     union of the exploded array with the org column (U2).
     """
-    from don_crawler_spark.functions.urls import canonicalize_url_udf
+    from don_crawler_spark.functions.urls import add_canonical_url_abs
 
     orgs = seeds.select(F.col("org_url").alias("raw_url"))
     repos = seeds.select(F.explode_outer("repo_urls").alias("raw_url")).filter(
         F.col("raw_url").isNotNull()
     )
-    urls = orgs.unionByName(repos).select(
-        canonicalize_url_udf(F.col("raw_url")).alias("url")
-    )
+    urls = add_canonical_url_abs(
+        orgs.unionByName(repos), "raw_url", "url"
+    ).select("url")
     return (
         urls.withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host", host_col(F.col("url")))
@@ -218,6 +218,11 @@ def run_round(
     w_host = Window.partitionBy("host").orderBy("depth", "url_hash")
     ranked = survivors.withColumn("rank_in_host", F.row_number().over(w_host))
     selected = ranked.filter(F.col("rank_in_host") <= F.col("budget"))
+    if persist:
+        # the sequence arithmetic below branches off `selected` twice
+        # (level counts + the rows themselves); cache so the two budget
+        # windows don't run once per branch
+        selected = selected.persist()
     deferred = (
         ranked.filter(F.col("rank_in_host") > F.col("budget"))
         .drop("rank_in_host")

@@ -139,9 +139,14 @@ def get_spark(
             + (extra_conf or {}).get("spark.driver.memory", driver_mem)
             + " -XX:+AlwaysPreTouch",
         )
+        # executors get the same fixed pre-touched heap as the driver
+        # (-Xms = executor memory): without it G1 grows/uncommits the
+        # heap under scan churn and every re-commit pays this host's
+        # pathological page-fault cost (see the driver note above)
         .config(
             "spark.executor.extraJavaOptions",
-            "-XX:+AlwaysPreTouch",
+            (f"-Xms{executor_mem_mb}m " if executors is not None else "")
+            + "-XX:+AlwaysPreTouch",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONMALLOC", worker_env["PYTHONMALLOC"])

@@ -202,3 +202,31 @@ def test_hybrid_canonical_null_rows_survive(spark) -> None:
     )
     out = add_canonical_url(df, "href", "base", "c").collect()
     assert len(out) == 3
+
+
+def test_abs_hybrid_matches_python(spark) -> None:
+    """add_canonical_url_abs (base-less fast path for seed/frontier URLs)
+    must equal canonicalize_url byte-for-byte on every shape."""
+    from pyspark.sql import functions as F
+
+    from don_crawler_spark.functions.urls import (
+        add_canonical_url_abs,
+        canonicalize_url,
+    )
+
+    urls = [
+        "https://a.example/x", "HTTPS://A.Example/X/", "http://h",
+        "https://h/", "https://h///", "http://h/a%20b", "https://h/a.b-c_d~e",
+        "https://h/p?b=2&a=1", "https://h/p#frag", "https://h:8080/p",
+        "https://h:443/p", "https://u:pw@h/p", "https://h/a/../b",
+        "  https://h/sp  ", "https://ünïcode.example/p", "",
+        "https://h/p ", "ftp://files.example/x",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], ["i", "u"]
+    )
+    got = {r["i"]: r["c"] for r in add_canonical_url_abs(df, "u", "c").collect()}
+    assert len(got) == len(urls)
+    for i, u in enumerate(urls):
+        want = canonicalize_url(u)
+        assert got[i] == want, (u, got[i], want)
