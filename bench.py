@@ -292,15 +292,33 @@ def main() -> None:
             links_native_col,
             with_extracted_description,
         )
-        from don_crawler_spark.functions.urls import add_canonical_url
-        from don_crawler_spark.operators.dedup import simhash_udf
+        from don_crawler_spark.functions.urls import (
+            add_canonical_url,
+            resolve_and_canonicalize_udf,
+        )
+        from don_crawler_spark.operators.dedup import simhash_native_col
         from pyspark.sql import functions as F
 
         corpus = bench_corpus(sf, args.pages)
         pages = spark.read.parquet(f"{corpus}/pages.parquet")
+        # Warm EVERY executor before t0 (codegen compile, Arrow init, and
+        # the Python workers the canonicalization slow path may spawn):
+        # many tiny tasks so the scheduler touches all executors — a
+        # limit() warms only whichever executor gets its one task, and the
+        # un-warmed executors would then pay startup inside the measured
+        # window (a fixed cost that reads as fake scaling loss).
+        n_warm = 8 * cpus * (args.executors or 1)
+        warm = spark.range(0, n_warm * 50, 1, n_warm).select(
+            F.concat(F.lit("x y z w"), F.col("id").cast("string")).alias("t"),
+            F.lit("https://w.example/a").alias("u"),
+        )
+        warm.select(
+            simhash_native_col(F.col("t")).alias("s"),
+            resolve_and_canonicalize_udf(F.col("t"), F.col("u")).alias("c"),
+        ).write.mode("overwrite").format("noop").save()
         with_extracted_description(pages.limit(2000), "html", "text").select(
-            simhash_udf(F.col("text")).alias("t")
-        ).write.mode("overwrite").format("noop").save()  # warm workers
+            simhash_native_col(F.col("text")).alias("t")
+        ).write.mode("overwrite").format("noop").save()  # warm the extract path
         n = pages.count()
         t0 = time.monotonic()
         # persist() before add_canonical_url: the fast/slow branch split
@@ -311,7 +329,7 @@ def main() -> None:
             "url",
             "text",
             links_native_col(F.col("html")).alias("links"),
-        ).withColumn("simhash", simhash_udf(F.col("text"))).persist()
+        ).withColumn("simhash", simhash_native_col(F.col("text"))).persist()
         exploded = enriched.select(
             "url", "simhash", F.explode("links").alias("href")
         )

@@ -215,13 +215,15 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     hashes' bit j; simhash bit j = (sum > 0). Token hash: md5's first 8
     bytes big-endian (deterministic across processes and engines).
 
-    Vectorized over the WHOLE Arrow batch (this kernel sits on the crawl's
-    enrich_fetched hot path): the only per-token Python left is one C
-    ``hashlib.md5`` call per *distinct token of the batch* (a shared
-    vocabulary — web text repeats tokens heavily, so this is far fewer
-    hashes than per-row hashing); bit unpacking, vote summation and bit
-    packing are numpy over the flattened batch. Values are identical to
-    the historical per-row kernel (pinned in tests/test_similarity_dedup).
+    Vectorized over the WHOLE Arrow batch: the only per-token Python left
+    is one C ``hashlib.md5`` call per *distinct token of the batch* (a
+    shared vocabulary — web text repeats tokens heavily, so this is far
+    fewer hashes than per-row hashing); bit unpacking, vote summation and
+    bit packing are numpy over the flattened batch. This is kernel
+    version v1: its bit-exact pin is the DuckDB md5-replay oracle
+    (__spark_entry__.dedup_simhash) plus a literal golden-fingerprint
+    assert in tests/test_similarity_dedup.py; the crawl hot path uses the
+    JVM-native v2 kernel (simhash_native_col) instead.
     """
     import hashlib
 
@@ -276,6 +278,67 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return _simhash_batch(text)
 
 
+def simhash_native_col(text):
+    """simhash_v2 — fully JVM-native Charikar simhash, as ONE column
+    expression (no Python worker, no shuffle: usable inside any
+    projection).
+
+    Same vote structure as v1 (_simhash_batch) but the token hash is
+    Spark's built-in ``xxhash64(token)`` (seed 42) instead of md5's first
+    8 bytes, so v2 fingerprints are DIFFERENT values from v1's — the two
+    are separate, versioned kernels. v1 stays the oracle-pinned kernel
+    behind the dedup_simhash CORRECTNESS row; v2 is the crawl-path
+    default (plans/round.py enrich_fetched), which removes the last
+    Python UDF from the round DAG. Bit-exact parity of v2 against a
+    from-scratch Python XXH64 replay (functions/hashing.py) is pinned in
+    tests/test_similarity_dedup.py.
+
+    Shape: distinct tokens -> xxhash64 -> one aggregate() fold carrying a
+    64-slot vote array (zip_with add of each hash's ±1 bit votes) -> one
+    zip_with against the bit-value array + aggregate() sum to pack. Each
+    subtree is evaluated once per row; HOFs run JVM-interpreted (outside
+    whole-stage codegen) but never leave the JVM.
+    """
+    toks = F.array_distinct(F.filter(F.split(text, " "), lambda t: t != ""))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.shiftrightunsigned(h, j)
+                    .bitwiseAND(F.lit(1))
+                    .cast("int")
+                    * 2
+                    - 1
+                    for j in range(_SIMHASH_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    # bit j's contribution as a signed-long literal (bit 63 is the sign)
+    weights = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else (1 << 63) - (1 << 64)).cast("long")
+            for j in range(_SIMHASH_BITS)
+        ]
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # null/empty text -> 0, matching v1
+    return F.coalesce(packed, F.lit(0).cast("long"))
+
+
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, banded by pigeonhole:
     d differing bits leave at least one of d+1 bands untouched, so the
@@ -285,7 +348,13 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     n_bands = next(b for b in (4, 8, 16) if b >= max_hamming + 1)
     width = 64 // n_bands
     mask = (1 << width) - 1
-    sim = docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+    # token-less docs (null/empty/whitespace-only text) all hash to 0 and
+    # would collide in every band, emitting C(k,2) meaningless Hamming-0
+    # pairs; the DuckDB oracle's token explode naturally excludes them,
+    # so the operator must too — filter BEFORE the band join
+    sim = docs.filter(F.size(tokens_col("text")) > 0).select(
+        "doc_id", simhash_udf(F.col("text")).alias("simhash")
+    )
     bands = sim.select(
         "doc_id",
         "simhash",

@@ -164,16 +164,17 @@ def run_crawl(
             .withColumn("round", F.lit(rnd))
             .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
         ).collect()
-        if mrows:
-            store.write_table(
-                spark.createDataFrame(
-                    mrows,
-                    "partition_id int, urls_fetched bigint, urls_200 bigint, "
-                    "links_emitted bigint, round int, wall_ms bigint",
-                ),
-                rnd,
-                "metrics",
-            )
+        # write even when empty: tooling reads metrics for the terminal
+        # round too (an empty round still leaves an empty metrics table)
+        store.write_table(
+            spark.createDataFrame(
+                mrows,
+                "partition_id int, urls_fetched bigint, urls_200 bigint, "
+                "links_emitted bigint, round int, wall_ms bigint",
+            ),
+            rnd,
+            "metrics",
+        )
         n_selected = sum(r["urls_fetched"] for r in mrows)
         n_200 = sum(r["urls_200"] for r in mrows)
         if n_selected == 0:

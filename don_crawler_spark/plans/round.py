@@ -379,15 +379,18 @@ def run_round(
         F.size("links").alias("n_links"),
     ]
     if cfg.enrich_fetched:
-        # dedup-ready page enrichment: simhash fingerprint (Arrow kernel)
-        # + token count + quality heuristics (codegen'd) per fetched page
-        from don_crawler_spark.operators.dedup import simhash_udf
+        # dedup-ready page enrichment: simhash_v2 fingerprint (JVM-native
+        # xxhash64 kernel — the versioned successor of the md5 v1 kernel,
+        # operators/dedup.py:simhash_native_col; with it the entire round
+        # DAG contains no Python UDF) + token count + quality heuristics
+        # (codegen'd) per fetched page
+        from don_crawler_spark.operators.dedup import simhash_native_col
 
         toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
         n_chars = F.length("text")
         n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
         fetched_cols += [
-            simhash_udf(F.col("text")).alias("simhash"),
+            simhash_native_col(F.col("text")).alias("simhash"),
             F.size(toks).alias("n_tokens"),
             (
                 F.lit(0.5) * F.least(F.lit(1.0), F.size(toks) / F.lit(100.0))

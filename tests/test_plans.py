@@ -133,6 +133,38 @@ def test_no_python_udf_in_native_queries(spark) -> None:
         assert "EvalPython" not in plan, name
 
 
+def test_enriched_round_plan_has_no_python_udf(spark, tmp_path) -> None:
+    """With enrich_fetched=True the page-processing DAG (extract + links
+    + simhash_v2 + quality stats) must be JVM-native (r2 finding: the v1
+    simhash pandas UDF sat on this path). The ONLY Python nodes allowed
+    anywhere in the round plan are the URL-canonicalization slow-path
+    fallbacks for rare complex shapes (functions/urls.py hybrid split) —
+    seeds feeding the frontier, and new-link resolution."""
+    from don_crawler_spark.plans.config import CrawlConfig
+    from don_crawler_spark.plans.driver import _empty_seen
+    from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+    from don_crawler_spark.sources.synth import generate_corpus
+
+    corpus = str(tmp_path / "c")
+    generate_corpus(corpus, n_pages=150, n_hosts=6, seed=21, n_publishers=3)
+    out = run_round(
+        CrawlConfig(enrich_fetched=True),
+        1,
+        frontier_from_seeds(spark.read.parquet(f"{corpus}/seeds.parquet")),
+        _empty_seen(spark),
+        spark.read.parquet(f"{corpus}/pages.parquet"),
+        spark.read.parquet(f"{corpus}/robots.parquet"),
+        spark.read.parquet(f"{corpus}/host_budgets.parquet"),
+        persist=False,
+    )
+    for df in (out.fetched_full, out.new_frontier):
+        plan = _plan(df)
+        for line in plan.splitlines():
+            if "EvalPython" in line:
+                assert "canonicalize" in line, f"non-canonicalization UDF: {line}"
+        assert "simhash_udf" not in plan
+
+
 def test_topk_uses_window_group_limit(spark) -> None:
     """Catalyst pushes the rank<=k filter into a WindowGroupLimit
     (partial+final top-k, the T1/T5 'PerPage: 1' pushdown analogue —
