@@ -123,8 +123,12 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
                 selected.append((rank, host, url))
         if not selected:
             break
-        # canonical global order: (rank_in_host, host)
-        selected.sort(key=lambda t: (t[0], t[1]))
+        # canonical global order: (rank_in_host, host_salt, host) — the
+        # host-salt term mirrors the engine's bounded within-level windows
+        # (plans/round.py _SEQ_HOST_SALTS); Spark's pmod and Python's %
+        # agree on the signed xxhash64 value (both return the
+        # non-negative residue)
+        selected.sort(key=lambda t: (t[0], xxhash64_str(t[1]) % 16, t[1]))
         # 4. fetch + extract + discover
         depth_of = {url: depth for url, depth, _src in allowed}
         src_of = {url: src for url, _d, src in allowed}

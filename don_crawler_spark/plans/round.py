@@ -25,10 +25,11 @@ Scale notes (the judge-facing design decisions):
   per (host, salt) local rank prunes to budget rows, then the exact
   per-host rank runs on ≤ salt_factor x budget rows per host instead of
   the host's whole frontier).
-* ``seq_in_round`` is arithmetic, not a global sort: per-level counts +
-  a θ-join cumulative offset + a per-level partitioned rank (see the
-  inline note). No unpartitioned window touches the selected set at any
-  budget.
+* ``seq_in_round`` is arithmetic, not a global sort: per-(level, host-salt)
+  cell counts + a θ-join cumulative offset + a per-cell partitioned rank
+  (see the inline note). No unpartitioned window touches the selected set
+  at any budget, and no window partition exceeds n_hosts/_SEQ_HOST_SALTS
+  rows.
 * Extraction and link parsing are Arrow-batched pandas UDFs applied only
   to rows that actually fetched (status 200), never to the whole frontier.
 * No ``rand()`` anywhere: ties break on url_hash, so the plan is
@@ -59,6 +60,15 @@ FRONTIER_COLS = ["url_hash", "url", "host", "path", "depth", "src_url", "attempt
 
 # pre-cut salt factor for the budget window (see module docstring)
 _BUDGET_PRECUT_SALTS = 8
+
+# sub-partitioning of the within-level sequence rank: level 1 holds one
+# row per host, so a window partitioned by level alone would sort every
+# frontier host in ONE task at 10^7-host scale. The canonical order is
+# therefore (level, host_salt, host) with host_salt = pmod(xxhash64(host),
+# N) — deterministic at any cluster size, mirrored exactly in the Python
+# oracle (plans/oracle.py), and each window partition is bounded by
+# n_hosts / N (AQE skew-split handles residual imbalance).
+_SEQ_HOST_SALTS = 16
 
 
 @dataclass
@@ -229,38 +239,51 @@ def run_round(
         .unionByName(deferred_precut)
     )
 
-    # canonical global order within the round: (rank_in_host, host),
-    # WITHOUT a global sort. A plain Window.orderBy would collapse the
-    # selected set into one task per round (a serial sort at production
-    # budgets). Instead the sequence number is pure arithmetic:
-    #   seq(r, h) = Σ_{r' < r} cnt(r')   (rows in lower rank levels)
-    #             + pos(h | level r)      (host's position within level)
-    # cnt per level comes from a tiny aggregate (≤ max budget rows); the
-    # cumulative offset is a θ-self-join of that aggregate (no
-    # unpartitioned window anywhere); the within-level position is a
-    # window PARTITIONED by rank level (level 1 holds one row per host —
-    # bounded by the host count, and each level shrinks).
-    level_counts = selected.groupBy("rank_in_host").agg(
+    # canonical global order within the round: (rank_in_host, host_salt,
+    # host), WITHOUT a global sort. A plain Window.orderBy would collapse
+    # the selected set into one task per round (a serial sort at
+    # production budgets). Instead the sequence number is pure arithmetic
+    # over (level, salt) cells:
+    #   seq(r, s, h) = Σ_{(r',s') < (r,s)} cnt(r', s')   (lower cells)
+    #                + pos(h | cell (r, s))     (host's position in cell)
+    # cnt per cell comes from a tiny aggregate (levels x _SEQ_HOST_SALTS
+    # rows); the cumulative offset is a θ-self-join of that aggregate (no
+    # unpartitioned window anywhere); the within-cell position is a window
+    # PARTITIONED by (level, salt) — every partition is bounded by
+    # n_hosts / _SEQ_HOST_SALTS even at level 1 (the r2 single-task
+    # residue; see the _SEQ_HOST_SALTS note).
+    selected = selected.withColumn(
+        "__hsalt", F.pmod(F.xxhash64("host"), F.lit(_SEQ_HOST_SALTS))
+    )
+    cell_counts = selected.groupBy("rank_in_host", "__hsalt").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    lo = level_counts.select(
-        F.col("rank_in_host").alias("lo_rank"), F.col("cnt").alias("lo_cnt")
+    lo = cell_counts.select(
+        F.col("rank_in_host").alias("lo_rank"),
+        F.col("__hsalt").alias("lo_salt"),
+        F.col("cnt").alias("lo_cnt"),
     )
     offsets = (
-        level_counts.join(
-            F.broadcast(lo), lo["lo_rank"] < level_counts["rank_in_host"], "left"
+        cell_counts.join(
+            F.broadcast(lo),
+            (lo["lo_rank"] < cell_counts["rank_in_host"])
+            | (
+                (lo["lo_rank"] == cell_counts["rank_in_host"])
+                & (lo["lo_salt"] < cell_counts["__hsalt"])
+            ),
+            "left",
         )
-        .groupBy("rank_in_host")
+        .groupBy("rank_in_host", "__hsalt")
         .agg(F.coalesce(F.sum("lo_cnt"), F.lit(0)).alias("__off"))
     )
-    w_in_level = Window.partitionBy("rank_in_host").orderBy("host")
+    w_in_cell = Window.partitionBy("rank_in_host", "__hsalt").orderBy("host")
     selected = (
-        selected.withColumn("__pos", F.row_number().over(w_in_level))
-        .join(F.broadcast(offsets), "rank_in_host")
+        selected.withColumn("__pos", F.row_number().over(w_in_cell))
+        .join(F.broadcast(offsets), ["rank_in_host", "__hsalt"])
         .withColumn(
             "seq_in_round", (F.col("__off") + F.col("__pos")).cast("int")
         )
-        .drop("__pos", "__off")
+        .drop("__pos", "__off", "__hsalt")
         .repartition(F.col("url_hash"))
     )
 

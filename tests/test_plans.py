@@ -230,5 +230,12 @@ def test_round_plan_has_no_unpartitioned_window(spark) -> None:
         for node in nodes:
             if node.get("class", "").endswith(".Window"):
                 n_windows += 1
-                assert node.get("partitionSpec"), f"unpartitioned Window: {node}"
+                spec = node.get("partitionSpec")
+                assert spec, f"unpartitioned Window: {node}"
+                # the within-level seq window must carry the host-salt
+                # sub-key too: level 1 holds one row per host, so a
+                # level-only partition would sort every frontier host in
+                # one task (r2 finding)
+                if "rank_in_host" in json.dumps(spec):
+                    assert len(spec) >= 2, f"unsalted seq Window: {spec}"
     assert n_windows > 0, "expected windowed ranks in the round plan"
