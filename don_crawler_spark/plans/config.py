@@ -48,6 +48,14 @@ class CrawlConfig:
     # crawl pipeline produces; off by default (parity suites pin the
     # lean schema), on in the throughput bench
     enrich_fetched: bool = False
+    # fetch-join strategy guard: the round's selected set is broadcast
+    # (as a semi-join prune of the pages corpus) only while its size
+    # bound stays under this row count (~60 B/row -> 1M rows ≈ the
+    # session's 64 MB broadcast envelope). Above it — production-scale
+    # budgets over a 10^7+-row frontier, where the broadcast would be
+    # multi-GB — the round degrades to a shuffle-hash join on url_hash
+    # (plans/round.py, fetch_join="shuffle"). None = always broadcast.
+    fetch_broadcast_limit: int | None = 1_000_000
 
     def round_ts(self, rnd: int) -> dt.datetime:
         """Start instant of round ``rnd`` (1-based) on the crawl clock."""

@@ -19,9 +19,36 @@ from pyspark.sql import functions as F
 from don_crawler_spark.functions.bloom import BLOOM_SCHEMA, make_merge_fn
 from don_crawler_spark.plans.checkpoint import CheckpointStore
 from don_crawler_spark.plans.config import CrawlConfig
-from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+from don_crawler_spark.plans.round import _budget_expr, frontier_from_seeds, run_round
 
 SEEN_SCHEMA = "url_hash long, url string, first_round int"
+
+
+def _choose_fetch_join(
+    frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig
+) -> str:
+    """Pick the round's selected-set x pages join strategy (see the GUARD
+    note in plans/round.py). The selected set is bounded by
+    min(Σ host budgets, frontier rows); broadcast only under
+    cfg.fetch_broadcast_limit. Two tiny jobs at most: a sum over the
+    (broadcast-sized) budgets dimension, and — only when budgets no
+    longer bound the round — a frontier count."""
+    if cfg.fetch_broadcast_limit is None:
+        return "broadcast"
+    default_cap = min(
+        cfg.default_max_per_round, cfg.round_budget_ms // cfg.default_crawl_delay_ms
+    )
+    # upper bound: no-backoff budgets at round 1 (backoff only shrinks it)
+    bsum = (
+        budgets.select(_budget_expr(cfg, 1, False).alias("b"))
+        .agg(F.sum("b").alias("s"))
+        .first()["s"]
+        or 0
+    )
+    if max(bsum, default_cap) <= cfg.fetch_broadcast_limit:
+        return "broadcast"
+    n = frontier.count()
+    return "broadcast" if n <= cfg.fetch_broadcast_limit else "shuffle"
 
 
 @dataclass
@@ -122,6 +149,7 @@ def run_crawl(
         out = run_round(
             cfg, rnd, frontier, seen, pages, robots, budgets,
             bloom=bloom, transient=transient,
+            fetch_join=_choose_fetch_join(frontier, budgets, cfg),
         )
 
         # Materialize in dependency order; manifest commit is the txn point.

@@ -157,12 +157,20 @@ def run_round(
     bloom: DataFrame | None = None,
     persist: bool = True,
     transient: DataFrame | None = None,
+    fetch_join: str = "broadcast",
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
 
     ``bloom``: optional bucket-sharded Bloom table (functions/bloom.py)
     used as a prefilter in front of the exact seen anti-join.
+
+    ``fetch_join``: join strategy for selected-set x pages — "broadcast"
+    (semi-join prune, selected set must fit an executor) or "shuffle"
+    (shuffle-hash on url_hash; the graceful-degradation path when the
+    selected set's bound exceeds CrawlConfig.fetch_broadcast_limit). The
+    driver picks per round (driver._choose_fetch_join); both shapes keep
+    html out of every exchange.
     """
     f = _dedup_frontier(frontier)
 
@@ -299,9 +307,17 @@ def run_round(
     # sort-merge-shuffles the full pages table (html payloads included)
     # every round. At warehouse scale the same effect comes from
     # bucket-pruned storage; the broadcast-semi form needs no layout.
+    #
+    # GUARD (r2 finding): at production budgets (10^7-10^8 selected rows
+    # per round) the sel_keys broadcast is multi-GB — a driver/executor
+    # OOM. The driver flips ``fetch_join`` to "shuffle" when the selected
+    # set's bound exceeds cfg.fetch_broadcast_limit: extraction then runs
+    # map-side over the full corpus scan (with huge budgets the round
+    # selects ~the whole reachable corpus anyway) and the join
+    # shuffle-hashes on the 8-byte url_hash. html still never crosses an
+    # exchange — only the extracted text + links do.
     if persist:
         selected = selected.persist()
-    sel_keys = selected.select("url_hash", "url")
     p = pages.select(
         F.xxhash64("url").alias("p_hash"),
         F.col("url").alias("p_url"),
@@ -309,19 +325,22 @@ def run_round(
         "html",
         "lang",
     )
-    p_matched = p.join(
-        F.broadcast(sel_keys),
-        (p["p_hash"] == sel_keys["url_hash"]) & (p["p_url"] == sel_keys["url"]),
-        "left_semi",
-    )
-    # X1 extraction + link discovery run HERE — map-side on the pruned
+    if fetch_join == "shuffle":
+        p_matched = p
+    else:
+        sel_keys = selected.select("url_hash", "url")
+        p_matched = p.join(
+            F.broadcast(sel_keys),
+            (p["p_hash"] == sel_keys["url_hash"]) & (p["p_url"] == sel_keys["url"]),
+            "left_semi",
+        )
+    # X1 extraction + link discovery run HERE — map-side on the (pruned)
     # pages scan, BEFORE the join shuffle. Payload bytes (html) never
     # cross an exchange: only the extracted text + hrefs do (~6x fewer
-    # bytes on this corpus; on real web data 10-100x). The semi-join
-    # already bounded this to the politeness-selected rows, so no wasted
-    # extraction either. Both kernels are JVM-native Catalyst expressions
-    # (functions/extract.py): html never enters a Python worker, the whole
-    # scan-extract-project pipeline stays in one codegen span.
+    # bytes on this corpus; on real web data 10-100x). Both kernels are
+    # JVM-native Catalyst expressions (functions/extract.py): html never
+    # enters a Python worker, the whole scan-extract-project pipeline
+    # stays in one codegen span.
     p_slim = with_extracted_description(p_matched, "html", "text").select(
         "p_hash",
         "p_url",
@@ -330,6 +349,10 @@ def run_round(
         "text",
         links_native_col(F.col("html")).alias("links"),
     )
+    if fetch_join == "shuffle":
+        # shuffle-hash (not sort-merge): both sides hash-shuffle on the
+        # 8-byte key, no sort of the slim pages relation
+        p_slim = p_slim.hint("shuffle_hash")
     fetched_raw = selected.join(
         p_slim,
         (selected["url_hash"] == p_slim["p_hash"])

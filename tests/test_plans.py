@@ -103,6 +103,48 @@ def test_fetch_join_never_shuffles_pages(spark, tmp_path) -> None:
     assert "html" not in seg
 
 
+def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> None:
+    """GUARD (r2 finding): above cfg.fetch_broadcast_limit the selected
+    set must NOT be broadcast — the fetch join flips to a shuffle-hash on
+    url_hash, with extraction still map-side (html below the exchange)."""
+    import dataclasses
+
+    from don_crawler_spark.plans.config import CrawlConfig
+    from don_crawler_spark.plans.driver import _choose_fetch_join, _empty_seen
+    from don_crawler_spark.plans.round import frontier_from_seeds, run_round
+    from don_crawler_spark.sources.synth import generate_corpus
+
+    corpus = str(tmp_path / "c")
+    generate_corpus(corpus, n_pages=150, n_hosts=6, seed=21, n_publishers=3)
+    pages = spark.read.parquet(f"{corpus}/pages.parquet")
+    robots = spark.read.parquet(f"{corpus}/robots.parquet")
+    budgets = spark.read.parquet(f"{corpus}/host_budgets.parquet")
+    frontier = frontier_from_seeds(spark.read.parquet(f"{corpus}/seeds.parquet"))
+
+    # the driver's chooser flips with the threshold
+    lean = CrawlConfig()
+    saturated = dataclasses.replace(
+        lean, default_max_per_round=10_000_000, round_budget_ms=60_000_000,
+        fetch_broadcast_limit=2,
+    )
+    assert _choose_fetch_join(frontier, budgets, lean) == "broadcast"
+    assert _choose_fetch_join(frontier, budgets, saturated) == "shuffle"
+
+    out = run_round(
+        saturated, 1, frontier, _empty_seen(spark), pages, robots, budgets,
+        persist=False, fetch_join="shuffle",
+    )
+    plan = _plan(out.fetched_full)
+    assert "ShuffledHashJoin" in plan
+    # no broadcast-semi prune of pages in shuffle mode (the broadcasts
+    # that remain are the small dimensions: robots rules, host budgets,
+    # seq offsets)
+    assert "LeftSemi, BuildRight" not in plan
+    # html still never crosses an exchange: extraction stays map-side
+    seg = plan.split("Exchange")[0]
+    assert "html" not in seg
+
+
 def test_robots_filter_is_shuffle_free(spark) -> None:
     from don_crawler_spark.functions.robots import apply_robots_filter
 
