@@ -663,6 +663,61 @@ def x15(spark, sf_dir):
     )
 
 
+@_q(
+    "x7_canonical_url",
+    """WITH u AS (
+  SELECT o_orderkey, o_orderkey % 6 AS m,
+         'example-' || CAST(o_custkey % 50 AS VARCHAR) || '.org' AS lhost,
+         'Example-' || CAST(o_custkey % 50 AS VARCHAR) || '.Org' AS mhost,
+         CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders)
+SELECT o_orderkey,
+  CASE m WHEN 0 THEN 'https://' || lhost || '/path/' || k || '/'
+         WHEN 1 THEN 'HTTP://' || mhost || ':80/Path/' || k
+         WHEN 2 THEN 'https://' || lhost || '/p?b=' || k || '&a=1#frag'
+         WHEN 3 THEN 'https://' || lhost || '/a/../p/' || k
+         WHEN 4 THEN 'https://user:pw@' || lhost || '/x/' || k
+         ELSE 'https://' || lhost || '/' END AS raw_url,
+  CASE m WHEN 0 THEN 'https://' || lhost || '/path/' || k
+         WHEN 1 THEN 'http://' || lhost || '/Path/' || k
+         WHEN 2 THEN 'https://' || lhost || '/p?a=1&b=' || k
+         WHEN 3 THEN 'https://' || lhost || '/a/../p/' || k
+         WHEN 4 THEN 'https://' || lhost || '/x/' || k
+         ELSE 'https://' || lhost END AS canonical_url
+FROM u""",
+)
+def x7_canon(spark, sf_dir):
+    """X7 — URL canonicalization, the key of the whole engine (the scale
+    substitute for the reference's clone-URL identity + per-key mutex,
+    crawler/crawler.go:620-632). Six deterministic URL shapes per orders
+    row exercise BOTH regimes of the hybrid kernel: the JVM fast path
+    (m=0 trailing slash, m=5 root path) and the Python fallback (m=1
+    mixed-case host + default port, m=2 query sort + fragment drop, m=3
+    dot segments kept verbatim without a base, m=4 credential strip).
+    The oracle constructs the expected canonical form independently per
+    shape — it shares no code with either kernel."""
+    from don_crawler_spark.functions.urls import add_canonical_url_abs
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    m = F.col("o_orderkey") % 6
+    n = (F.col("o_custkey") % 50).cast("string")
+    lhost = F.concat(F.lit("example-"), n, F.lit(".org"))
+    mhost = F.concat(F.lit("Example-"), n, F.lit(".Org"))
+    k = F.col("o_orderkey").cast("string")
+    raw = (
+        F.when(m == 0, F.concat(F.lit("https://"), lhost, F.lit("/path/"), k, F.lit("/")))
+        .when(m == 1, F.concat(F.lit("HTTP://"), mhost, F.lit(":80/Path/"), k))
+        .when(m == 2, F.concat(F.lit("https://"), lhost, F.lit("/p?b="), k, F.lit("&a=1#frag")))
+        .when(m == 3, F.concat(F.lit("https://"), lhost, F.lit("/a/../p/"), k))
+        .when(m == 4, F.concat(F.lit("https://user:pw@"), lhost, F.lit("/x/"), k))
+        .otherwise(F.concat(F.lit("https://"), lhost, F.lit("/")))
+    )
+    df = o.withColumn("raw_url", raw)
+    return add_canonical_url_abs(df, "raw_url", "canonical_url").select(
+        "o_orderkey", "raw_url", "canonical_url"
+    )
+
+
 # --- K1: the end-to-end repository record (the reference's POST payload) -----
 
 
@@ -1117,13 +1172,18 @@ def ann_brute(spark, sf_dir):
     return SIM.brute_force_topk(emb, queries, k=10)
 
 
-@_q("ann_lsh_bucketed", None)  # numpy LSH projection: rows-only check
+@_q("ann_lsh_bucketed", None)  # numpy LSH projection: no SQL oracle, but
+# the output is fully deterministic (splitmix64 hyperplanes) and pinned
+# row-for-row against a frozen sf0.001 fixture plus a recall floor vs
+# brute force in tests/test_similarity_dedup.py
 def ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k (scale path; recall vs brute force
-    is pinned in tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k (scale path). n_bits=4: these
+    near-uniform synthetic embeddings are LSH's worst case, so coarse
+    buckets are needed for recall (measured 0.6 vs brute force at k=10;
+    n_bits=6 reads 0.32); clustered real embeddings support finer ones."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_topk(emb, queries, k=10)
+    return SIM.lsh_topk(emb, queries, k=10, n_tables=8, n_bits=4)
 
 
 # --- text stats ---------------------------------------------------------------

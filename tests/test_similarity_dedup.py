@@ -22,13 +22,57 @@ def test_lsh_recall_vs_brute_force(spark, emb) -> None:
     }
     # near-random embeddings are LSH's worst case (neighbors barely closer
     # than random points) — coarse buckets (4 bits) + 8 tables still must
-    # recover most true neighbors
+    # recover most true neighbors. The pipeline is fully deterministic, so
+    # the floor sits just under the measured value (0.7 at this config).
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in lsh_topk(emb, queries, k=5, n_tables=8, n_bits=4).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    assert recall >= 0.65, f"LSH recall too low: {recall}"
+
+
+# frozen expected output of the ann_lsh_bucketed entry at sf0.001
+# (queries = vec_id < 5, k=10, n_tables=8, n_bits=4, seed 42): the
+# hyperplanes are a deterministic splitmix64 stream, so this is exact on
+# any machine / partition count — the fixture-oracle standing in for the
+# SQL oracle DuckDB cannot express.
+ANN_LSH_SF0001_FIXTURE = [
+    (0, 1, 225, 0.315127), (0, 2, 12, 0.311027), (0, 3, 483, 0.300451),
+    (0, 4, 347, 0.274508), (0, 5, 402, 0.2745), (0, 6, 299, 0.268713),
+    (0, 7, 497, 0.252082), (0, 8, 394, 0.248665), (0, 9, 71, 0.245227),
+    (0, 10, 453, 0.236758),
+    (1, 1, 257, 0.391762), (1, 2, 209, 0.381544), (1, 3, 129, 0.35148),
+    (1, 4, 376, 0.304811), (1, 5, 440, 0.299303), (1, 6, 455, 0.282431),
+    (1, 7, 479, 0.268921), (1, 8, 237, 0.253512), (1, 9, 64, 0.2267),
+    (1, 10, 206, 0.226142),
+    (2, 1, 443, 0.357569), (2, 2, 62, 0.289997), (2, 3, 246, 0.289771),
+    (2, 4, 185, 0.282941), (2, 5, 441, 0.253966), (2, 6, 183, 0.250606),
+    (2, 7, 488, 0.238607), (2, 8, 24, 0.23019), (2, 9, 378, 0.222895),
+    (2, 10, 94, 0.219036),
+    (3, 1, 223, 0.340915), (3, 2, 205, 0.336595), (3, 3, 426, 0.315098),
+    (3, 4, 156, 0.311071), (3, 5, 278, 0.269397), (3, 6, 326, 0.236859),
+    (3, 7, 32, 0.228103), (3, 8, 53, 0.217255), (3, 9, 225, 0.214998),
+    (3, 10, 329, 0.212627),
+    (4, 1, 345, 0.374941), (4, 2, 98, 0.339767), (4, 3, 143, 0.329711),
+    (4, 4, 343, 0.312433), (4, 5, 229, 0.267757), (4, 6, 472, 0.26634),
+    (4, 7, 195, 0.254743), (4, 8, 271, 0.25458), (4, 9, 413, 0.253907),
+    (4, 10, 462, 0.253346),
+]
+
+
+def test_ann_lsh_pinned_fixture(spark) -> None:
+    """The registered ann_lsh_bucketed entry reproduces the frozen
+    sf0.001 top-k exactly (query_id, rank, neighbor_id, cosine)."""
+    import __spark_entry__ as em
+
+    got = [
+        (r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+        for r in em.queries()["ann_lsh_bucketed"](spark, "/root/testdata/sf0.001")
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == ANN_LSH_SF0001_FIXTURE
 
 
 def test_lsh_deterministic(spark, emb) -> None:
