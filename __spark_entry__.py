@@ -1199,6 +1199,21 @@ def text_tokens(spark, sf_dir):
 
 
 @_q(
+    "text_subword_tokens",
+    f"""SELECT doc_id, CAST(len({SQL_TOKENS}) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+         AS INT) AS n_subwords
+FROM documents""",
+)
+def text_subwords(spark, sf_dir):
+    """Token counting under the BPE-ish pre-tokenizer regex (LLM token
+    cost proxy) alongside whitespace words — same RE2/Java-compatible
+    pattern on both engines (operators/textstats.py BPE_SPLIT_RE)."""
+    return TS.subword_token_count(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_quality_score",
     f"""SELECT doc_id, n_chars,
        CAST(len({SQL_TOKENS}) AS INT) AS n_tokens,

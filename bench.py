@@ -218,27 +218,54 @@ def main() -> None:
 
         def paired(mode: str, levels, reps: int | None = None) -> dict:
             """Interleave [N, 4N] passes, bracketed by host probes AND a
-            concurrent multiprocessing control; keep the best pair whose
-            probes agree within 2x (same throttle state). The per-pair
-            control is the honest ceiling: when the host itself cannot
-            scale 4 -> 16 writers, no engine can."""
+            concurrent multiprocessing control. A pair is CLEAN when its
+            four probes agree within 2x (same throttle state for both
+            runs). The headline eff is the MEDIAN of clean pairs — never
+            a best-of (selecting the max on the reported metric is a
+            noise-inflated estimator; r2 ADVICE). If no pair is clean the
+            result carries no_clean_pair=true — an explicit measurement
+            failure, with the all-pair median only as context."""
+            import statistics
+
             pairs = []
+            n_failed = 0
             for _ in range(max(1, reps if reps is not None else args.repeats)):
                 ctrl = host_control()
-                rN = run_one(mode, *levels[0])
-                r4N = run_one(mode, *levels[1])
+                try:
+                    rN = run_one(mode, *levels[0])
+                    r4N = run_one(mode, *levels[1])
+                except subprocess.CalledProcessError as e:
+                    # one crashed run must not abort the whole protocol —
+                    # record the pair as failed and keep measuring
+                    n_failed += 1
+                    sys.stderr.write(f"pair failed ({mode}): {e}\n")
+                    continue
                 probes = [rN["probe_before"], rN["probe_after"],
                           r4N["probe_before"], r4N["probe_after"]]
                 clean = max(probes) <= 2.0 * min(probes)
                 eff = round(r4N["urls_per_sec"] / rN["urls_per_sec"] / 4.0, 3)
                 pairs.append({"N": rN, "x4N": r4N, "clean": clean,
                               "eff": eff, "control": ctrl})
-            usable = [p for p in pairs if p["clean"]] or pairs
-            best = max(usable, key=lambda p: p["eff"])
-            best["n_pairs"] = len(pairs)
-            best["n_clean"] = sum(p["clean"] for p in pairs)
-            best["all_effs"] = [p["eff"] for p in pairs]
-            return best
+            if not pairs:
+                return {"eff": None, "no_clean_pair": True, "n_pairs": 0,
+                        "n_clean": 0, "n_failed": n_failed, "all_effs": [],
+                        "clean_effs": [], "N": {}, "x4N": {}, "control": {}}
+            usable = [p for p in pairs if p["clean"]]
+            no_clean = not usable
+            if no_clean:
+                usable = pairs
+            headline = round(statistics.median(p["eff"] for p in usable), 3)
+            # representative pair for the table: the usable pair whose eff
+            # is closest to the median (NOT the best one)
+            rep = dict(min(usable, key=lambda p: abs(p["eff"] - headline)))
+            rep["eff"] = headline
+            rep["no_clean_pair"] = no_clean
+            rep["n_pairs"] = len(pairs)
+            rep["n_clean"] = sum(p["clean"] for p in pairs)
+            rep["n_failed"] = n_failed
+            rep["all_effs"] = [p["eff"] for p in pairs]
+            rep["clean_effs"] = [p["eff"] for p in pairs if p["clean"]]
+            return rep
 
         # primary: N = 1 executor x 2 cores vs 4N = 4 executors x 2
         # cores. Small executors on purpose: 4N must still fit inside the
@@ -406,6 +433,12 @@ def _write_md(payload: dict) -> None:
         c = p["control"]
         ck, ck4 = ("2", "8") if "2" in c else ("4", "16")
         ceff = "eff_N_to_4N" if "eff_N_to_4N" in c else "eff_4_to_16"
+        fail = (
+            "\n**MEASUREMENT FAILED: no clean throttle-state pair** — the"
+            " value above is the all-pair median, shown for context only.\n"
+            if p.get("no_clean_pair")
+            else ""
+        )
         return f"""## {title}
 
 | level | URLs | wall (s) | URLs/s | probe MB/s |
@@ -413,10 +446,12 @@ def _write_md(payload: dict) -> None:
 {row(p["N"])}
 {row(p["x4N"])}
 
-eff = **{p["eff"]}** (pair effs seen: {p["all_effs"]}; {p["n_clean"]}/{p["n_pairs"]}
-same-throttle-state pairs). Concurrent host control (multiprocessing write
-bandwidth, N -> 4N writer procs): {c[ck]} -> {c[ck4]} MB/s, control eff
-**{c[ceff]}**.{note}
+eff = **{p["eff"]}** = median of the {p["n_clean"]}/{p["n_pairs"]}
+same-throttle-state pairs (clean-pair effs: {p.get("clean_effs", [])};
+all pair effs: {p["all_effs"]}; table shows the pair closest to the
+median). Representative pair's concurrent host control (multiprocessing
+write bandwidth, N -> 4N writer procs): {c[ck]} -> {c[ck4]} MB/s, control
+eff **{c[ceff]}**.{fail}{note}
 """
 
     se, st, ce = (payload["stage_executors"], payload["stage_threads"],
@@ -448,7 +483,8 @@ the sandbox protocol:
 {section("Page-processing stage, thread scaling (secondary; one shared write budget)", st)}
 {section("End-to-end crawl (saturation round), executor scaling", ce)}
 Corpus: synthetic, {payload["n_pages"]} pages, seed 42; one fresh process
-tree per run; best same-state pair reported, all pair effs shown.
+tree per run; headline eff = median over same-throttle-state pairs (all
+pair effs shown; a section with no clean pair says so explicitly).
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -34,6 +34,28 @@ def token_count(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+# whitespace runs. No lookarounds (RE2 has none) and no \p classes (kept
+# ASCII so both engines agree byte-for-byte); leftmost-first alternation
+# is common to both.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_token_count(docs: DataFrame) -> DataFrame:
+    """Token counts under BOTH tokenizations a data pipeline budgets with:
+    whitespace words and BPE-ish pre-tokens (the better proxy for LLM
+    token cost). One map-side expression, no shuffle."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0)).alias(
+            "n_subwords"
+        ),
+    )
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Length/punctuation/stopword heuristics -> [0, 1] score.
 

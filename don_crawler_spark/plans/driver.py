@@ -24,28 +24,34 @@ from don_crawler_spark.plans.round import _budget_expr, frontier_from_seeds, run
 SEEN_SCHEMA = "url_hash long, url string, first_round int"
 
 
-def _choose_fetch_join(
-    frontier: DataFrame, budgets: DataFrame, cfg: CrawlConfig
-) -> str:
-    """Pick the round's selected-set x pages join strategy (see the GUARD
-    note in plans/round.py). The selected set is bounded by
-    min(Σ host budgets, frontier rows); broadcast only under
-    cfg.fetch_broadcast_limit. Two tiny jobs at most: a sum over the
-    (broadcast-sized) budgets dimension, and — only when budgets no
-    longer bound the round — a frontier count."""
-    if cfg.fetch_broadcast_limit is None:
-        return "broadcast"
+def _budget_sum_bound(budgets: DataFrame, cfg: CrawlConfig) -> int:
+    """Upper bound on any round's politeness-selected size from the
+    (static, broadcast-sized) budgets dimension: Σ no-backoff budgets at
+    round 1 (backoff only shrinks a round), or the per-host default cap
+    if it is larger. One tiny job, run once per crawl."""
     default_cap = min(
         cfg.default_max_per_round, cfg.round_budget_ms // cfg.default_crawl_delay_ms
     )
-    # upper bound: no-backoff budgets at round 1 (backoff only shrinks it)
     bsum = (
         budgets.select(_budget_expr(cfg, 1, False).alias("b"))
         .agg(F.sum("b").alias("s"))
         .first()["s"]
         or 0
     )
-    if max(bsum, default_cap) <= cfg.fetch_broadcast_limit:
+    return max(bsum, default_cap)
+
+
+def _choose_fetch_join(
+    frontier: DataFrame, budget_bound: int, cfg: CrawlConfig
+) -> str:
+    """Pick the round's selected-set x pages join strategy (see the GUARD
+    note in plans/round.py). The selected set is bounded by
+    min(budget_bound, frontier rows); broadcast only under
+    cfg.fetch_broadcast_limit. The frontier count job runs only when the
+    budgets no longer bound the round."""
+    if cfg.fetch_broadcast_limit is None:
+        return "broadcast"
+    if budget_bound <= cfg.fetch_broadcast_limit:
         return "broadcast"
     n = frontier.count()
     return "broadcast" if n <= cfg.fetch_broadcast_limit else "shuffle"
@@ -143,13 +149,18 @@ def run_crawl(
         )
 
     bloom = _read_bloom(start_round)
+    budget_bound = (
+        _budget_sum_bound(budgets, cfg)
+        if cfg.fetch_broadcast_limit is not None
+        else 0
+    )
 
     for rnd in range(start_round + 1, cfg.max_rounds + 1):
         t0 = time.monotonic()
         out = run_round(
             cfg, rnd, frontier, seen, pages, robots, budgets,
             bloom=bloom, transient=transient,
-            fetch_join=_choose_fetch_join(frontier, budgets, cfg),
+            fetch_join=_choose_fetch_join(frontier, budget_bound, cfg),
         )
 
         # Materialize in dependency order; manifest commit is the txn point.

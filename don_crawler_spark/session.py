@@ -163,6 +163,12 @@ def get_spark(
             worker_env["ARROW_DEFAULT_MEMORY_POOL"],
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # a broadcast value may sit at the end of a long compute pipeline
+        # (the crawl's selected-set prune builds the whole frontier
+        # selection before broadcasting its keys); the 300s default is a
+        # hang detector, not a budget — on 2-core scaling-bench executors
+        # a legitimate build can exceed it and abort the job
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     if executors is not None:
         builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")

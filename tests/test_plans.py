@@ -110,7 +110,11 @@ def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> 
     import dataclasses
 
     from don_crawler_spark.plans.config import CrawlConfig
-    from don_crawler_spark.plans.driver import _choose_fetch_join, _empty_seen
+    from don_crawler_spark.plans.driver import (
+        _budget_sum_bound,
+        _choose_fetch_join,
+        _empty_seen,
+    )
     from don_crawler_spark.plans.round import frontier_from_seeds, run_round
     from don_crawler_spark.sources.synth import generate_corpus
 
@@ -127,8 +131,16 @@ def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> 
         lean, default_max_per_round=10_000_000, round_budget_ms=60_000_000,
         fetch_broadcast_limit=2,
     )
-    assert _choose_fetch_join(frontier, budgets, lean) == "broadcast"
-    assert _choose_fetch_join(frontier, budgets, saturated) == "shuffle"
+    assert (
+        _choose_fetch_join(frontier, _budget_sum_bound(budgets, lean), lean)
+        == "broadcast"
+    )
+    assert (
+        _choose_fetch_join(
+            frontier, _budget_sum_bound(budgets, saturated), saturated
+        )
+        == "shuffle"
+    )
 
     out = run_round(
         saturated, 1, frontier, _empty_seen(spark), pages, robots, budgets,
