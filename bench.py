@@ -138,6 +138,10 @@ def main() -> None:
     ap.add_argument("--saturation", action="store_true")
     ap.add_argument("--stage-only", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    # the thread pair is a secondary diagnostic (it measures the shared
+    # per-process write budget as much as the engine); reruns chasing
+    # clean PRIMARY pairs can dial it down independently
+    ap.add_argument("--thread-repeats", type=int, default=None)
     ap.add_argument("--executors", type=int, default=None)
     args = ap.parse_args()
 
@@ -279,7 +283,9 @@ def main() -> None:
             "sf": sf,
             "n_pages": pages,
             "stage_executors": paired("--stage-only", exec_levels),
-            "stage_threads": paired("--stage-only", thread_levels),
+            "stage_threads": paired(
+                "--stage-only", thread_levels, reps=args.thread_repeats
+            ),
             "crawl_executors": paired("--crawl-only", exec_levels),
         }
         payload["stage_scaling_efficiency"] = payload["stage_executors"]["eff"]
@@ -427,10 +433,11 @@ def _write_md(payload: dict) -> None:
         return (f"| {r.get('cpus','?')} cores x {ex} exec | "
                 f"{r.get('urls', r.get('urls_fetched','?'))} | "
                 f"{r.get('stage_wall_sec', r.get('crawl_wall_sec','?'))} | "
-                f"{r['urls_per_sec']} | {r['probe_before']}/{r['probe_after']} |")
+                f"{r.get('urls_per_sec','?')} | "
+                f"{r.get('probe_before','?')}/{r.get('probe_after','?')} |")
 
     def section(title: str, p: dict, note: str = "") -> str:
-        c = p["control"]
+        c = p["control"] or {"2": "?", "8": "?", "eff_N_to_4N": "?"}
         ck, ck4 = ("2", "8") if "2" in c else ("4", "16")
         ceff = "eff_N_to_4N" if "eff_N_to_4N" in c else "eff_4_to_16"
         fail = (
