@@ -11,7 +11,18 @@ TABLES = (
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver testdata ships single-row-group parquet files, which scan
+    # as ONE input split no matter the conf — every downstream explode /
+    # UDF / join then runs serial on a 32-core session. When the storage
+    # layout under-splits like this, re-spread to the session's
+    # parallelism (a ~MB shuffle here). On warehouse data (many files /
+    # row groups) nparts >> cores and this is a no-op — the layout, not a
+    # forced shuffle, provides the parallelism.
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, cores // 4):
+        df = df.repartition(2 * cores)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
