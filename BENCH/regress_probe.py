@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Round-4 investigation: the r3 bench regressions (VERDICT #1/#2).
+
+Two questions, answered with interleaved repeats + host write probes
+(the hypervisor throttle drifts within minutes, so single A-then-B
+timings are meaningless — see memory/host-write-throttle):
+
+  --queries : dedup_simhash + dedup_embedding_cosine at sf0.1 with the
+              tables.load re-spread ON vs OFF (suspect (a) in VERDICT:
+              repartition(2*cores) shrank Arrow batches ~64x under the
+              v1 kernel's batch-shared md5 vocabulary).
+  --kernels : simhash v1 (pandas UDF) vs v2/v3 (JVM HOF) in isolation
+              over the 200k-page bench corpus extracted text.
+
+Prints one JSON line per mode with per-rep wall times + probes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def probe_mbs() -> float:
+    import numpy as np
+
+    a = np.empty(100 * 1024 * 1024, dtype=np.int8)
+    t0 = time.monotonic()
+    a[:] = 1
+    a[:] = 2
+    return round(200 / (time.monotonic() - t0), 1)
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", action="store_true")
+    ap.add_argument("--kernels", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from don_crawler_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark(
+        "regress-probe",
+        cpus=cpus,
+        shuffle_partitions=2 * cpus,
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    if args.queries:
+        import __spark_entry__ as E
+
+        def load_respread(spark, sf_dir, name):
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            if df.rdd.getNumPartitions() < max(2, cpus // 4):
+                df = df.repartition(2 * cpus)
+            return df
+
+        def load_plain(spark, sf_dir, name):
+            return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+        qs = E.queries()
+        results: dict[str, list] = {}
+        for rep in range(args.repeats):
+            for mode, loader in (("respread", load_respread), ("plain", load_plain)):
+                E.load = loader
+                for qname in ("dedup_simhash", "dedup_embedding_cosine"):
+                    p0 = probe_mbs()
+                    t0 = time.monotonic()
+                    force(qs[qname](spark, sf_dir))
+                    wall = round(time.monotonic() - t0, 3)
+                    results.setdefault(f"{qname}:{mode}", []).append(
+                        {"wall": wall, "probe_before": p0, "probe_after": probe_mbs()}
+                    )
+        print(json.dumps(results))
+
+    if args.kernels:
+        from pyspark.sql import functions as F
+
+        from don_crawler_spark.functions.extract import with_extracted_description
+        from don_crawler_spark.operators.dedup import (
+            simhash_native_col,
+            simhash_udf,
+        )
+
+        corpus = os.path.join(
+            REPO,
+            "data",
+            "corpus_n200000_s42_budget_scale4000_extra_paragraphs20_"
+            "n_publishers10000_out_degree8",
+        )
+        pages = spark.read.parquet(f"{corpus}/pages.parquet")
+        texts = (
+            with_extracted_description(pages, "html", "text")
+            .select("text")
+            .persist()
+        )
+        n = texts.count()
+        # warm both paths
+        force(texts.limit(2000).select(simhash_udf(F.col("text")).alias("s")))
+        force(texts.limit(2000).select(simhash_native_col(F.col("text")).alias("s")))
+        kernels = {
+            "v1_pandas": lambda: texts.select(simhash_udf(F.col("text")).alias("s")),
+            "v2_native": lambda: texts.select(
+                simhash_native_col(F.col("text")).alias("s")
+            ),
+        }
+        results = {"n_texts": n, "n_parts": texts.rdd.getNumPartitions()}
+        for rep in range(args.repeats):
+            for kname, mk in kernels.items():
+                p0 = probe_mbs()
+                t0 = time.monotonic()
+                force(mk())
+                wall = round(time.monotonic() - t0, 3)
+                results.setdefault(kname, []).append(
+                    {"wall": wall, "probe_before": p0, "probe_after": probe_mbs()}
+                )
+        print(json.dumps(results))
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

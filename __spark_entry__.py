@@ -1140,9 +1140,12 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 )
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs — blocked-GEMM all-pairs kernel
-    (the expression-only baseline lives in operators/similarity.py)."""
+    (the expression-only baseline lives in operators/similarity.py).
+    respread=False: the plan's first heavy op is the cogroup's own
+    shuffle on the block-pair key, so a load-time repartition is a
+    wasted exchange (measured 1.7x, BENCH/regress_probe.py)."""
     return SIM.embedding_near_dup_pairs_gemm(
-        load(spark, sf_dir, "embeddings"), threshold=0.5
+        load(spark, sf_dir, "embeddings", respread=False), threshold=0.5
     )
 
 

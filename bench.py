@@ -396,18 +396,33 @@ def main() -> None:
         spark.stop()
         return
 
+    import statistics
+
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
 
+    # tiny warmup crawl first: JVM codegen + Python-worker startup happen
+    # outside every measured window (r3 finding: single-shot timings made
+    # the first pandas-UDF query absorb worker startup AND whatever
+    # throttle state the host was in — two queries read 4x regressed on
+    # identical plans; warm repeated medians showed no regression)
+    run_crawl_bench(spark, sf, max_rounds=1, n_pages=2000)
     crawl = run_crawl_bench(spark, sf)
     timings["crawl"] = crawl["crawl_wall_sec"]
 
+    # per-query median over repeats — single-shot walls on this host are
+    # throttle-noise-dominated (memory/host-write-throttle: 6x swings)
     for name in HEADLINE_QUERIES:
-        t0 = time.monotonic()
-        force(queries[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(max(1, args.repeats)):
+            t0 = time.monotonic()
+            force(queries[name](spark, sf_dir))
+            runs.append(round(time.monotonic() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -417,6 +432,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_runs": all_runs,
+                "query_repeats": max(1, args.repeats),
                 "sf": sf,
                 "crawl_urls_per_sec": crawl["urls_per_sec"],
                 "crawl_urls_fetched": crawl["urls_fetched"],

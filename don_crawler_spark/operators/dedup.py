@@ -278,6 +278,18 @@ def simhash_udf(text: pd.Series) -> pd.Series:
     return _simhash_batch(text)
 
 
+# SWAR lane layout for the v2 fold: acc[g] packs four 16-bit one-counters
+# for bits (g, 16+g, 32+g, 48+g) at bit offsets 0/16/32/48 — one
+# shift+AND per acc slot per token instead of one ±1 vote per BIT.
+_SWAR_LANE_MASK = 0x0001_0001_0001_0001
+# 16-bit lanes overflow at 65536 distinct tokens per doc; the fold caps
+# the (first-occurrence-ordered, deterministic) distinct token array
+# there. A doc needs >65535 DISTINCT whitespace tokens (≈ >0.5 MB of
+# never-repeating words) to hit the cap — beyond it the fingerprint is
+# computed over the first 65535, still deterministic.
+_SWAR_MAX_TOKENS = 65535
+
+
 def simhash_native_col(text):
     """simhash_v2 — fully JVM-native Charikar simhash, as ONE column
     expression (no Python worker, no shuffle: usable inside any
@@ -293,48 +305,49 @@ def simhash_native_col(text):
     from-scratch Python XXH64 replay (functions/hashing.py) is pinned in
     tests/test_similarity_dedup.py.
 
-    Shape: distinct tokens -> xxhash64 -> one aggregate() fold carrying a
-    64-slot vote array (zip_with add of each hash's ±1 bit votes) -> one
-    zip_with against the bit-value array + aggregate() sum to pack. Each
-    subtree is evaluated once per row; HOFs run JVM-interpreted (outside
-    whole-stage codegen) but never leave the JVM.
+    Fold shape (r4 restructure, SAME fingerprint values as the original
+    v2 fold): HOF lambdas run JVM-interpreted, so per-token expression
+    nodes are the unit of cost. The original fold carried a 64-slot ±1
+    vote array (~800 interpreted nodes/token); this one carries 16 longs
+    of SWAR-packed 16-bit lane counters — per token, acc[g] +=
+    (h >>> g) & 0x0001000100010001 counts bits g/16+g/32+g/48+g in one
+    shift+AND+add (~50 nodes/token). The 64 majority votes are unpacked
+    per ROW (not per token): bit j set iff 2*cnt_j > n_tokens, identical
+    to sum(±1) > 0.
     """
-    toks = F.array_distinct(F.filter(F.split(text, " "), lambda t: t != ""))
+    toks = F.slice(
+        F.array_distinct(F.filter(F.split(text, " "), lambda t: t != "")),
+        1,
+        _SWAR_MAX_TOKENS,
+    )
+    n = F.size(toks)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    votes = F.aggregate(
+    lane_mask = F.lit(_SWAR_LANE_MASK).cast("long")
+    acc = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), _SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda a, h: F.zip_with(
+            a,
             F.array(
                 *[
-                    F.shiftrightunsigned(h, j)
-                    .bitwiseAND(F.lit(1))
-                    .cast("int")
-                    * 2
-                    - 1
-                    for j in range(_SIMHASH_BITS)
+                    F.shiftrightunsigned(h, g).bitwiseAND(lane_mask)
+                    for g in range(16)
                 ]
             ),
-            lambda a, b: a + b,
+            lambda x, c: x + c,
         ),
     )
-    # bit j's contribution as a signed-long literal (bit 63 is the sign)
-    weights = F.array(
-        *[
-            F.lit((1 << j) if j < 63 else (1 << 63) - (1 << 64)).cast("long")
-            for j in range(_SIMHASH_BITS)
-        ]
-    )
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
-            weights,
-            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # per-row unpack: count of set bit j lives in acc[j % 16], lane
+    # j // 16; bit j of the fingerprint = majority = 2*cnt > n. Weight
+    # literals are signed longs (bit 63 is the sign), matching v1.
+    packed = None
+    for j in range(_SIMHASH_BITS):
+        cnt = F.shiftrightunsigned(
+            F.element_at(acc, j % 16 + 1), 16 * (j // 16)
+        ).bitwiseAND(F.lit(0xFFFF))
+        w = F.lit((1 << j) if j < 63 else (1 << 63) - (1 << 64)).cast("long")
+        term = F.when(cnt * 2 > n, w).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed + term
     # null/empty text -> 0, matching v1
     return F.coalesce(packed, F.lit(0).cast("long"))
 

@@ -84,6 +84,24 @@ class CheckpointStore:
     def write_table(self, df: DataFrame, rnd: int, name: str) -> None:
         df.write.mode("overwrite").parquet(self.table_path(rnd, name))
 
+    def row_count(self, rnd: int, name: str) -> int:
+        """Exact row count of a checkpointed table from parquet FOOTERS —
+        a driver-side metadata read (one small footer per file), no Spark
+        job. The driver uses this for the fetch-join guard: the frontier's
+        exact size is a sound upper bound on the round's selected set
+        (selected ⊆ deduped frontier), unlike the budgets-dimension sum,
+        which fails open when frontier hosts are absent from the dimension
+        (each uncovered host silently gets the default cap — the r3 ADVICE
+        finding)."""
+        import pyarrow.parquet as pq
+
+        path = self.table_path(rnd, name)
+        total = 0
+        for entry in os.listdir(path):
+            if entry.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
+        return total
+
     def read_table(self, spark: SparkSession, rnd: int, name: str) -> DataFrame:
         # fetched_full is canonical for the virtual names — a same-named
         # directory left by a crashed pre-consolidation run (or a partial

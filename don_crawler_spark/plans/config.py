@@ -56,6 +56,14 @@ class CrawlConfig:
     # multi-GB — the round degrades to a shuffle-hash join on url_hash
     # (plans/round.py, fetch_join="shuffle"). None = always broadcast.
     fetch_broadcast_limit: int | None = 1_000_000
+    # shuffle-mode scan prune (plans/round.py + functions/native_bloom):
+    # sizing of the Catalyst Bloom built over the selected keys. Defaults
+    # sit at Spark's runtime-bloom conf caps (4M items / 64M bits = 8 MB,
+    # fpp ~5e-4); for 10^7-10^8-row selected sets raise these together
+    # with spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}
+    # — bits ≈ 16 x items keeps extraction overhead ~fpp*corpus tiny.
+    fetch_bloom_items: int = 4_000_000
+    fetch_bloom_bits: int = 64 * 1024 * 1024
 
     def round_ts(self, rnd: int) -> dt.datetime:
         """Start instant of round ``rnd`` (1-based) on the crawl clock."""

@@ -19,42 +19,31 @@ from pyspark.sql import functions as F
 from don_crawler_spark.functions.bloom import BLOOM_SCHEMA, make_merge_fn
 from don_crawler_spark.plans.checkpoint import CheckpointStore
 from don_crawler_spark.plans.config import CrawlConfig
-from don_crawler_spark.plans.round import _budget_expr, frontier_from_seeds, run_round
+from don_crawler_spark.plans.round import frontier_from_seeds, run_round
 
 SEEN_SCHEMA = "url_hash long, url string, first_round int"
 
 
-def _budget_sum_bound(budgets: DataFrame, cfg: CrawlConfig) -> int:
-    """Upper bound on any round's politeness-selected size from the
-    (static, broadcast-sized) budgets dimension: Σ no-backoff budgets at
-    round 1 (backoff only shrinks a round), or the per-host default cap
-    if it is larger. One tiny job, run once per crawl."""
-    default_cap = min(
-        cfg.default_max_per_round, cfg.round_budget_ms // cfg.default_crawl_delay_ms
-    )
-    bsum = (
-        budgets.select(_budget_expr(cfg, 1, False).alias("b"))
-        .agg(F.sum("b").alias("s"))
-        .first()["s"]
-        or 0
-    )
-    return max(bsum, default_cap)
-
-
-def _choose_fetch_join(
-    frontier: DataFrame, budget_bound: int, cfg: CrawlConfig
-) -> str:
+def _choose_fetch_join(n_frontier: int, cfg: CrawlConfig) -> str:
     """Pick the round's selected-set x pages join strategy (see the GUARD
-    note in plans/round.py). The selected set is bounded by
-    min(budget_bound, frontier rows); broadcast only under
-    cfg.fetch_broadcast_limit. The frontier count job runs only when the
-    budgets no longer bound the round."""
+    note in plans/round.py). ``n_frontier`` is the EXACT row count of the
+    round's input frontier, read from the checkpoint's parquet footers
+    (CheckpointStore.row_count — driver-side metadata, zero Spark jobs
+    per round). It soundly bounds the selected set (selected ⊆ deduped
+    frontier ⊆ frontier rows); broadcast only under
+    cfg.fetch_broadcast_limit.
+
+    The previous budgets-dimension bound (Σ host budgets) was UNSOUND —
+    frontier hosts absent from the dimension each get the default cap via
+    the coalesce in round.py, so with many uncovered hosts (the normal
+    case for newly discovered hosts at production scale) the bound read
+    small and the guard failed open onto a multi-GB broadcast (r3 ADVICE
+    high). The frontier count errs only toward "shuffle", which the
+    bloom-pruned shuffle path keeps O(selected), never toward an OOM.
+    """
     if cfg.fetch_broadcast_limit is None:
         return "broadcast"
-    if budget_bound <= cfg.fetch_broadcast_limit:
-        return "broadcast"
-    n = frontier.count()
-    return "broadcast" if n <= cfg.fetch_broadcast_limit else "shuffle"
+    return "broadcast" if n_frontier <= cfg.fetch_broadcast_limit else "shuffle"
 
 
 @dataclass
@@ -149,18 +138,14 @@ def run_crawl(
         )
 
     bloom = _read_bloom(start_round)
-    budget_bound = (
-        _budget_sum_bound(budgets, cfg)
-        if cfg.fetch_broadcast_limit is not None
-        else 0
-    )
+    n_frontier = store.row_count(start_round, "frontier")
 
     for rnd in range(start_round + 1, cfg.max_rounds + 1):
         t0 = time.monotonic()
         out = run_round(
             cfg, rnd, frontier, seen, pages, robots, budgets,
             bloom=bloom, transient=transient,
-            fetch_join=_choose_fetch_join(frontier, budget_bound, cfg),
+            fetch_join=_choose_fetch_join(n_frontier, cfg),
         )
 
         # Materialize in dependency order; manifest commit is the txn point.
@@ -239,6 +224,7 @@ def run_crawl(
         spark.catalog.clearCache()
 
         frontier = store.read_table(spark, rnd, "frontier")
+        n_frontier = store.row_count(rnd, "frontier")
         seen = store.read_seen(spark, rnd)
         bloom = _read_bloom(rnd)
 

@@ -26,6 +26,7 @@ from don_crawler_spark.functions.hashing import xxhash64_str
 from don_crawler_spark.functions.robots import robots_allowed_py
 from don_crawler_spark.functions.urls import canonicalize_url, url_host, url_path
 from don_crawler_spark.plans.config import CrawlConfig
+from don_crawler_spark.plans.round import _SEQ_HOST_SALTS
 
 
 @dataclass
@@ -128,7 +129,9 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
         # (plans/round.py _SEQ_HOST_SALTS); Spark's pmod and Python's %
         # agree on the signed xxhash64 value (both return the
         # non-negative residue)
-        selected.sort(key=lambda t: (t[0], xxhash64_str(t[1]) % 16, t[1]))
+        selected.sort(
+            key=lambda t: (t[0], xxhash64_str(t[1]) % _SEQ_HOST_SALTS, t[1])
+        )
         # 4. fetch + extract + discover
         depth_of = {url: depth for url, depth, _src in allowed}
         src_of = {url: src for url, _d, src in allowed}

@@ -326,7 +326,28 @@ def run_round(
         "lang",
     )
     if fetch_join == "shuffle":
-        p_matched = p
+        # MID-REGIME FIX (r3 VERDICT #3): the degraded path used to run
+        # extraction over EVERY page in the scan — O(corpus) per round
+        # when 1M < selected << corpus. Instead, prune the scan with a
+        # Catalyst Bloom filter over the selected url_hash keys
+        # (functions/native_bloom.py: bloom_filter_agg is a distributed
+        # aggregate with map-side partial merge — the driver never sees
+        # the keys — and might_contain evaluates map-side at the scan).
+        # False positives only extract a few extra rows — the final join
+        # is exact on (url_hash, url) — so extraction is
+        # O(selected + fpp*corpus). html still never crosses an
+        # exchange. If the native expressions are unavailable the plan
+        # falls back to the un-pruned scan: degraded cost, same rows.
+        from don_crawler_spark.functions.native_bloom import bloom_membership_col
+
+        maybe_sel = bloom_membership_col(
+            selected.select("url_hash"),
+            "url_hash",
+            p["p_hash"],
+            cfg.fetch_bloom_items,
+            cfg.fetch_bloom_bits,
+        )
+        p_matched = p.filter(maybe_sel) if maybe_sel is not None else p
     else:
         sel_keys = selected.select("url_hash", "url")
         p_matched = p.join(

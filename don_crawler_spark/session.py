@@ -148,6 +148,17 @@ def get_spark(
             (f"-Xms{executor_mem_mb}m " if executors is not None else "")
             + "-XX:+AlwaysPreTouch",
         )
+        # broadcastTimeout: the 300s default is a hang detector, not a
+        # budget — but a broadcast value may sit at the end of a long
+        # compute pipeline (the crawl's selected-set prune builds the
+        # whole frontier selection before broadcasting its keys), and on
+        # the 2-core scaling-bench executors (executors != None) a
+        # legitimate build can exceed 300s. Raise it ONLY there; normal
+        # sessions keep a working hang detector (r3 ADVICE).
+        .config(
+            "spark.sql.broadcastTimeout",
+            "3600" if executors is not None else "300",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONMALLOC", worker_env["PYTHONMALLOC"])
         .config(
@@ -163,12 +174,6 @@ def get_spark(
             worker_env["ARROW_DEFAULT_MEMORY_POOL"],
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # a broadcast value may sit at the end of a long compute pipeline
-        # (the crawl's selected-set prune builds the whole frontier
-        # selection before broadcasting its keys); the 300s default is a
-        # hang detector, not a budget — on 2-core scaling-bench executors
-        # a legitimate build can exceed it and abort the job
-        .config("spark.sql.broadcastTimeout", "3600")
     )
     if executors is not None:
         builder = builder.config("spark.executor.memory", f"{executor_mem_mb}m")

@@ -10,7 +10,9 @@ TABLES = (
 ).split()
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, respread: bool = True
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # The driver testdata ships single-row-group parquet files, which scan
     # as ONE input split no matter the conf — every downstream explode /
@@ -19,8 +21,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # parallelism (a ~MB shuffle here). On warehouse data (many files /
     # row groups) nparts >> cores and this is a no-op — the layout, not a
     # forced shuffle, provides the parallelism.
+    #
+    # ``respread=False``: consumers whose FIRST heavy operation is itself
+    # a shuffle (cogroup / groupBy with cheap map work above it) should
+    # opt out — the shuffle they already pay provides the parallelism,
+    # and the extra exchange is pure overhead (r3 ADVICE; measured 1.7x
+    # on the cogrouped-GEMM embedding dedup).
     cores = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, cores // 4):
+    if respread and df.rdd.getNumPartitions() < max(2, cores // 4):
         df = df.repartition(2 * cores)
     return df
 

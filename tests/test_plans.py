@@ -109,12 +109,9 @@ def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> 
     url_hash, with extraction still map-side (html below the exchange)."""
     import dataclasses
 
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
     from don_crawler_spark.plans.config import CrawlConfig
-    from don_crawler_spark.plans.driver import (
-        _budget_sum_bound,
-        _choose_fetch_join,
-        _empty_seen,
-    )
+    from don_crawler_spark.plans.driver import _choose_fetch_join, _empty_seen
     from don_crawler_spark.plans.round import frontier_from_seeds, run_round
     from don_crawler_spark.sources.synth import generate_corpus
 
@@ -125,22 +122,25 @@ def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> 
     budgets = spark.read.parquet(f"{corpus}/host_budgets.parquet")
     frontier = frontier_from_seeds(spark.read.parquet(f"{corpus}/seeds.parquet"))
 
-    # the driver's chooser flips with the threshold
+    # the chooser's frontier size comes from checkpoint parquet FOOTERS
+    # (no Spark job) — must agree with the DataFrame count exactly
+    store = CheckpointStore(str(tmp_path / "ckpt"))
+    store.write_table(frontier, 0, "frontier")
+    n_frontier = store.row_count(0, "frontier")
+    assert n_frontier == frontier.count()
+
+    # the driver's chooser flips with the threshold; the bound is the
+    # exact frontier size, NOT the budgets sum (r3 ADVICE: uncovered
+    # hosts made the budget bound fail open)
     lean = CrawlConfig()
     saturated = dataclasses.replace(
         lean, default_max_per_round=10_000_000, round_budget_ms=60_000_000,
         fetch_broadcast_limit=2,
     )
-    assert (
-        _choose_fetch_join(frontier, _budget_sum_bound(budgets, lean), lean)
-        == "broadcast"
-    )
-    assert (
-        _choose_fetch_join(
-            frontier, _budget_sum_bound(budgets, saturated), saturated
-        )
-        == "shuffle"
-    )
+    assert _choose_fetch_join(n_frontier, lean) == "broadcast"
+    assert _choose_fetch_join(n_frontier, saturated) == "shuffle"
+    assert _choose_fetch_join(10**9, dataclasses.replace(
+        lean, fetch_broadcast_limit=None)) == "broadcast"
 
     out = run_round(
         saturated, 1, frontier, _empty_seen(spark), pages, robots, budgets,
@@ -155,6 +155,22 @@ def test_fetch_join_degrades_to_shuffle_hash_over_threshold(spark, tmp_path) -> 
     # html still never crosses an exchange: extraction stays map-side
     seg = plan.split("Exchange")[0]
     assert "html" not in seg
+    # r4 (VERDICT #3): the corpus scan is bloom-pruned by the selected
+    # keys BEFORE extraction — extraction cost is O(selected), not
+    # O(corpus), in the mid-regime. The might_contain filter must sit
+    # BELOW the link-extraction projection (deeper in the printed tree).
+    assert "might_contain" in plan
+    assert plan.index("regexp_extract_all") < plan.index("might_contain")
+
+    # and the pruned plan returns the same rows as broadcast mode
+    out_b = run_round(
+        saturated, 1, frontier, _empty_seen(spark), pages, robots, budgets,
+        persist=False, fetch_join="broadcast",
+    )
+    cols = ["url", "status", "seq_in_round"]
+    got_s = sorted(map(tuple, out.fetched_full.select(*cols).collect()))
+    got_b = sorted(map(tuple, out_b.fetched_full.select(*cols).collect()))
+    assert got_s == got_b and len(got_s) > 0
 
 
 def test_robots_filter_is_shuffle_free(spark) -> None:
