@@ -349,3 +349,52 @@ def corpus_dir_for(
         with open(marker, "w") as fh:
             fh.write("ok\n")
     return out
+
+
+def clustered_embeddings_pdf(
+    n_vectors: int = 2000,
+    n_clusters: int = 25,
+    dim: int = 64,
+    seed: int = 7,
+    spread: float = 0.35,
+):
+    """Deterministic CLUSTERED embedding fixture (pandas DataFrame with
+    vec_id long, embedding array<double>).
+
+    The driver testdata's embeddings are near-uniform on the hypercube —
+    sign-LSH's worst case (no two vectors are meaningfully closer than
+    any other pair), which is why the registered ann_lsh_bucketed entry
+    runs coarse n_bits=4 buckets. Real text/image embeddings are
+    clustered; this fixture models that regime: ``n_clusters`` centers
+    uniform in [-1,1]^dim, each vector = its (vec_id % n_clusters)
+    center + uniform noise in [-spread, spread]^dim. Same splitmix64
+    stream as operators.similarity._hyperplanes — no RNG state, exact on
+    any machine — so recall numbers against it are reproducible
+    constants, not flaky samples.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _splitmix_uniform(count: int, stream_seed: int) -> "np.ndarray":
+        idx = np.arange(count, dtype=np.uint64) + np.uint64(
+            (stream_seed * 0x9E3779B97F4A7C15) % (1 << 64)
+        )
+        x = idx.copy()
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+        return x.astype(np.float64) / float(2**64)  # [0, 1)
+
+    centers = (
+        2.0 * _splitmix_uniform(n_clusters * dim, seed) - 1.0
+    ).reshape(n_clusters, dim)
+    noise = spread * (
+        2.0 * _splitmix_uniform(n_vectors * dim, seed + 1) - 1.0
+    ).reshape(n_vectors, dim)
+    assign = np.arange(n_vectors) % n_clusters
+    vecs = centers[assign] + noise
+    return pd.DataFrame(
+        {"vec_id": np.arange(n_vectors, dtype=np.int64), "embedding": list(vecs)}
+    )

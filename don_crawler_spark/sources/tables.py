@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -27,8 +29,14 @@ def load(
     # opt out — the shuffle they already pay provides the parallelism,
     # and the extra exchange is pure overhead (r3 ADVICE; measured 1.7x
     # on the cogrouped-GEMM embedding dedup).
+    # Dimension-scale tables (region, nation, supplier …) go straight to
+    # a broadcast on the join side; shuffling 5 rows into 2*cores
+    # partitions first is pure overhead (r3 ADVICE). 16 KB on disk cleanly
+    # separates the dims from the fact/text tables at every shipped SF.
+    path = f"{sf_dir}/{name}.parquet"
+    tiny = os.path.isfile(path) and os.path.getsize(path) < 16 * 1024
     cores = spark.sparkContext.defaultParallelism
-    if respread and df.rdd.getNumPartitions() < max(2, cores // 4):
+    if respread and not tiny and df.rdd.getNumPartitions() < max(2, cores // 4):
         df = df.repartition(2 * cores)
     return df
 

@@ -211,3 +211,30 @@ def test_multimodal_features_plumbing(spark) -> None:
     assert sorted(map(tuple, feats)) == sorted(
         (r["media_id"], r["n_bytes"], r["features"]) for r in again
     )
+
+
+def test_lsh_fine_buckets_on_clustered_embeddings(spark) -> None:
+    """r3 VERDICT #6: n_bits=4 coarse buckets were needed only because
+    the driver testdata's embeddings are near-uniform (sign-LSH's worst
+    case). On CLUSTERED embeddings — the realistic regime the lsh_topk
+    docstring claims — finer n_bits=8 buckets must recover recall >= 0.8
+    at a fraction of the candidate cost. Fully deterministic fixture
+    (sources/synth.clustered_embeddings_pdf), so the measured recall is a
+    reproducible constant."""
+    from don_crawler_spark.operators.similarity import brute_force_topk, lsh_topk
+    from don_crawler_spark.sources.synth import clustered_embeddings_pdf
+
+    pdf = clustered_embeddings_pdf(n_vectors=1500, n_clusters=25)
+    pdf["embedding"] = pdf["embedding"].map(list)
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, queries, k=5, n_tables=8, n_bits=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"fine-bucket LSH recall too low on clustered data: {recall}"
