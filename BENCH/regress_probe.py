@@ -46,6 +46,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", action="store_true")
     ap.add_argument("--kernels", action="store_true")
+    ap.add_argument("--persist", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -131,6 +132,43 @@ def main() -> None:
                 results.setdefault(kname, []).append(
                     {"wall": wall, "probe_before": p0, "probe_after": probe_mbs()}
                 )
+        print(json.dumps(results))
+
+    if args.persist:
+        # r2 #8 (finally measured): does persisting the exploded shingle
+        # relation beat recomputing the scan+tokenize+explode per
+        # consumer shuffle? Interleaved reps, probes around each run,
+        # cache cleared between runs so neither shape inherits state.
+        from don_crawler_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+        from don_crawler_spark.sources.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        ops = {
+            # same params as the registered bench queries
+            "ngram": lambda p: ngram_jaccard_pairs(
+                docs, n=3, threshold=0.2, max_shingle_df=50, persist_shingles=p
+            ),
+            "minhash": lambda p: minhash_lsh_pairs(
+                docs, n=3, bands=8, verify_threshold=0.1, persist_shingles=p
+            ),
+        }
+        results = {}
+        for rep in range(args.repeats):
+            for opname, mk in ops.items():
+                for mode, flag in (("nopersist", False), ("persist", True)):
+                    spark.catalog.clearCache()
+                    p0 = probe_mbs()
+                    t0 = time.monotonic()
+                    force(mk(flag))
+                    wall = round(time.monotonic() - t0, 3)
+                    results.setdefault(f"{opname}:{mode}", []).append(
+                        {"wall": wall, "probe_before": p0,
+                         "probe_after": probe_mbs()}
+                    )
+        spark.catalog.clearCache()
         print(json.dumps(results))
 
     spark.stop()

@@ -1044,7 +1044,14 @@ def dedup_ngram(spark, sf_dir):
     shingle universe (hot-shingle cap kills the f^2 blow-up; see
     operators/dedup.py)."""
     return DD.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), n=3, threshold=0.2, max_shingle_df=50
+        load(spark, sf_dir, "documents"),
+        n=3,
+        threshold=0.2,
+        max_shingle_df=50,
+        # measured (BENCH/regress_probe.py --persist, interleaved medians):
+        # persisting the exploded shingle relation beats recomputing the
+        # scan+explode per consumer shuffle at this scale, 8.3s -> 6.2s
+        persist_shingles=True,
     )
 
 
@@ -1081,7 +1088,12 @@ def dedup_minhash(spark, sf_dir):
     """MinHash+LSH: banded md5 min-signatures -> bucket join -> exact
     Jaccard verification."""
     return DD.minhash_lsh_pairs(
-        load(spark, sf_dir, "documents"), n=3, bands=8, verify_threshold=0.1
+        load(spark, sf_dir, "documents"),
+        n=3,
+        bands=8,
+        verify_threshold=0.1,
+        # measured win, same probe as dedup_ngram: 14.7s -> 11.8s medians
+        persist_shingles=True,
     )
 
 

@@ -76,6 +76,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over word n-gram shingle sets.
 
@@ -90,10 +91,21 @@ def ngram_jaccard_pairs(
     the df-filtered shingle universe (hot shingles leave the numerator
     AND the per-doc sizes — CCNet-style semantics, mirrored in the
     DuckDB oracle); pass None for the unfiltered metric.
+
+    ``persist_shingles``: the exploded shingle relation feeds three
+    different shuffles (df-cap groupBy, per-doc sizes, the pair
+    self-join), so without a persist the text scan + tokenize + explode
+    recomputes per consumer. MEMORY_AND_DISK-persist it when the
+    upstream explode is expensive relative to the shingle bytes
+    (BENCH/regress_probe.py --persist measures both shapes).
     """
     sh = docs.select(
         "doc_id", F.explode(shingles_col(n)).alias("shingle")
     )
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     if max_shingle_df is not None:
         keep = (
             sh.groupBy("shingle")
@@ -130,6 +142,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 8,
     verify_threshold: float = 0.5,
+    persist_shingles: bool = False,
 ) -> DataFrame:
     """MinHash + LSH candidate generation with exact verification.
 
@@ -143,8 +156,17 @@ def minhash_lsh_pairs(
     Scale: the bucket join is keyed by (band, signature) — tiny buckets;
     the shingle explode is shared with the signature computation (one
     pass). bands controls the recall/cost trade.
+
+    ``persist_shingles``: as in ngram_jaccard_pairs — the shingle
+    relation feeds the signature aggregate AND the verification slice,
+    so a persist trades shingle-bytes memory for recomputing the
+    explode (measured in BENCH/regress_probe.py --persist).
     """
     sh = docs.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     sigs = (
         sh.select("doc_id", "shingle", band)

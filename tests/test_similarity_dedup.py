@@ -238,3 +238,30 @@ def test_lsh_fine_buckets_on_clustered_embeddings(spark) -> None:
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"fine-bucket LSH recall too low on clustered data: {recall}"
+
+
+def test_persist_shingles_row_identical(spark) -> None:
+    """persist_shingles is a pure execution hint (MEMORY_AND_DISK persist
+    of the exploded shingle relation, measured faster in
+    BENCH/regress_probe.py --persist): rows must be identical to the
+    recompute shape for both shingle-based dedup families."""
+    from don_crawler_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for mk in (
+        lambda p: ngram_jaccard_pairs(
+            docs, n=3, threshold=0.2, max_shingle_df=50, persist_shingles=p
+        ),
+        lambda p: minhash_lsh_pairs(
+            docs, n=3, bands=8, verify_threshold=0.1, persist_shingles=p
+        ),
+    ):
+        plain = sorted(map(tuple, mk(False).collect()))
+        persisted = sorted(map(tuple, mk(True).collect()))
+        assert plain == persisted
+    spark.catalog.clearCache()
