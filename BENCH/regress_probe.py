@@ -67,13 +67,13 @@ def main() -> None:
     if args.queries:
         import __spark_entry__ as E
 
-        def load_respread(spark, sf_dir, name):
+        def load_respread(spark, sf_dir, name, respread=True):
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            if df.rdd.getNumPartitions() < max(2, cpus // 4):
+            if respread and df.rdd.getNumPartitions() < max(2, cpus // 4):
                 df = df.repartition(2 * cpus)
             return df
 
-        def load_plain(spark, sf_dir, name):
+        def load_plain(spark, sf_dir, name, respread=True):
             return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
         qs = E.queries()

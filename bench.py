@@ -138,6 +138,7 @@ def main() -> None:
     ap.add_argument("--saturation", action="store_true")
     ap.add_argument("--stage-only", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--crawl-repeats", type=int, default=3)
     # the thread pair is a secondary diagnostic (it measures the shared
     # per-process write budget as much as the engine); reruns chasing
     # clean PRIMARY pairs can dial it down independently
@@ -410,8 +411,16 @@ def main() -> None:
     # throttle state the host was in — two queries read 4x regressed on
     # identical plans; warm repeated medians showed no regression)
     run_crawl_bench(spark, sf, max_rounds=1, n_pages=2000)
-    crawl = run_crawl_bench(spark, sf)
-    timings["crawl"] = crawl["crawl_wall_sec"]
+    # the crawl gets the same median treatment as the queries: its wall is
+    # checkpoint-IO-heavy, exactly what the host throttle hits hardest
+    # (r2->r3 read as a -6% "regression" that was pure single-shot noise)
+    crawl_runs = [
+        run_crawl_bench(spark, sf) for _ in range(max(1, args.crawl_repeats))
+    ]
+    crawl_walls = sorted(r["crawl_wall_sec"] for r in crawl_runs)
+    crawl = min(crawl_runs, key=lambda r: abs(
+        r["crawl_wall_sec"] - statistics.median(crawl_walls)))
+    timings["crawl"] = round(statistics.median(crawl_walls), 3)
 
     # per-query median over repeats — single-shot walls on this host are
     # throttle-noise-dominated (memory/host-write-throttle: 6x swings)
@@ -435,8 +444,11 @@ def main() -> None:
                 "query_runs": all_runs,
                 "query_repeats": max(1, args.repeats),
                 "sf": sf,
-                "crawl_urls_per_sec": crawl["urls_per_sec"],
+                "crawl_urls_per_sec": round(statistics.median(
+                    r["urls_per_sec"] for r in crawl_runs), 1),
                 "crawl_urls_fetched": crawl["urls_fetched"],
+                "crawl_walls": crawl_walls,
+                "crawl_repeats": max(1, args.crawl_repeats),
                 "cpus": cpus,
             }
         )
@@ -512,8 +524,17 @@ pair effs shown; a section with no clean pair says so explicitly).
 """
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # the cross-session pooled-median analysis is maintained by hand
+    # below this marker — regenerating the measured sections must not
+    # clobber it
+    marker = "## Cross-run robustness"
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
     with open(path, "w") as fh:
-        fh.write(md)
+        fh.write(md + ("\n" + tail if tail else ""))
 
 
 if __name__ == "__main__":
