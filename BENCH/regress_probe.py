@@ -47,6 +47,7 @@ def main() -> None:
     ap.add_argument("--queries", action="store_true")
     ap.add_argument("--kernels", action="store_true")
     ap.add_argument("--persist", action="store_true")
+    ap.add_argument("--simhash-persist", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -168,6 +169,30 @@ def main() -> None:
                         {"wall": wall, "probe_before": p0,
                          "probe_after": probe_mbs()}
                     )
+        spark.catalog.clearCache()
+        print(json.dumps(results))
+
+    if args.simhash_persist:
+        # r4: the (doc_id, simhash) relation feeds both sides of the band
+        # self-join — does persisting it (running the v1 pandas kernel
+        # once instead of twice) explain dedup_simhash's ~11s bench row?
+        from don_crawler_spark.operators.dedup import simhash_near_dup_pairs
+        from don_crawler_spark.sources.tables import load
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        results = {}
+        for rep in range(args.repeats):
+            for mode, flag in (("nopersist", False), ("persist", True)):
+                spark.catalog.clearCache()
+                p0 = probe_mbs()
+                t0 = time.monotonic()
+                force(simhash_near_dup_pairs(docs, max_hamming=3,
+                                             persist_sim=flag))
+                wall = round(time.monotonic() - t0, 3)
+                results.setdefault(f"simhash:{mode}", []).append(
+                    {"wall": wall, "probe_before": p0,
+                     "probe_after": probe_mbs()}
+                )
         spark.catalog.clearCache()
         print(json.dumps(results))
 

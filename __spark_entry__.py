@@ -1133,8 +1133,14 @@ SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
 FROM ham WHERE hamming <= 3""",
 )
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (Charikar 2002), Hamming-banded."""
-    return DD.simhash_near_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs (Charikar 2002), Hamming-banded.
+
+    persist_sim: the fingerprint relation feeds both sides of the band
+    self-join; persisting it runs the v1 pandas kernel once instead of
+    twice (measured interleaved, BENCH/simhash_persist_probe.json)."""
+    return DD.simhash_near_dup_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=3, persist_sim=True
+    )
 
 
 @_q(

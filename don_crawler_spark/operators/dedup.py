@@ -374,12 +374,20 @@ def simhash_native_col(text):
     return F.coalesce(packed, F.lit(0).cast("long"))
 
 
-def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, persist_sim: bool = False
+) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, banded by pigeonhole:
     d differing bits leave at least one of d+1 bands untouched, so the
-    band count adapts to max_hamming (4 bands of 16 bits for d<=3, 8x8
-    for d<=7, 16x4 for d<=15). Narrower bands -> more candidates -> the
-    exact Hamming filter does more work; candidates never escape it."""
+    band count adapts to max_hamming (d<=3 -> 4 bands of 16 bits, d<=7
+    -> 8x8, d<=15 -> 16x4). Narrower bands -> more candidates -> the
+    exact Hamming filter does more work; candidates never escape it.
+
+    ``persist_sim``: the (doc_id, simhash) relation feeds BOTH sides of
+    the band self-join, so without a persist the v1 pandas kernel (the
+    expensive part — one md5 per distinct batch token) recomputes once
+    per side. The relation is 16 bytes/doc, so persisting it is ~free;
+    measured interleaved in BENCH/regress_probe.py --simhash-persist."""
     n_bands = next(b for b in (4, 8, 16) if b >= max_hamming + 1)
     width = 64 // n_bands
     mask = (1 << width) - 1
@@ -390,6 +398,10 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     sim = docs.filter(F.size(tokens_col("text")) > 0).select(
         "doc_id", simhash_udf(F.col("text")).alias("simhash")
     )
+    if persist_sim:
+        from pyspark import StorageLevel
+
+        sim = sim.persist(StorageLevel.MEMORY_AND_DISK)
     bands = sim.select(
         "doc_id",
         "simhash",

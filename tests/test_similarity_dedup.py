@@ -265,3 +265,26 @@ def test_persist_shingles_row_identical(spark) -> None:
         persisted = sorted(map(tuple, mk(True).collect()))
         assert plain == persisted
     spark.catalog.clearCache()
+
+
+def test_persist_sim_row_identical(spark) -> None:
+    """persist_sim on simhash_near_dup_pairs is likewise a pure execution
+    hint (the fingerprint relation feeds both band-join sides; persisting
+    runs the kernel once — BENCH/simhash_persist_probe.json): rows must be
+    identical to the recompute shape."""
+    from don_crawler_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plain = sorted(
+        map(tuple, simhash_near_dup_pairs(docs, max_hamming=3).collect())
+    )
+    persisted = sorted(
+        map(
+            tuple,
+            simhash_near_dup_pairs(docs, max_hamming=3, persist_sim=True).collect(),
+        )
+    )
+    assert plain == persisted
+    spark.catalog.clearCache()
