@@ -436,3 +436,89 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_id, keep), cluster_id = min doc_id in the component, keep =
+    the one representative per cluster. This is the step that turns
+    PAIR-granularity dedup (ngram/minhash/simhash emit edges) into
+    corpus dedup: transitive near-dups collapse to one kept doc.
+
+    Method: iterative min-label propagation — each round every vertex
+    takes the min label over its closed neighborhood (one shuffle join
+    on vertex id + one map-side groupBy per round), converging in
+    O(component diameter) rounds. Near-dup graphs have tiny components
+    (clusters of rewrites/mirrors), so diameter is small and this beats
+    the O(log n) star-contraction family (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) on constant factors; for
+    adversarial long-chain graphs swap in large-star/small-star with
+    the same (doc_id, lbl) contract. Each round is localCheckpoint-ed:
+    iterative DataFrame lineage otherwise grows unboundedly (same
+    pattern as the crawl driver, plans/driver.py). The convergence
+    probe reads a count off the just-materialized checkpoint — no extra
+    scan of anything upstream.
+
+    Determinism: min over a set is order-independent; the fixed point
+    is the unique per-component min id regardless of join order.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    # the pair plan upstream (LSH bucket join etc.) is expensive —
+    # materialize the edge list once, iterate over the checkpoint
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("nbr"))
+        .select(F.col("u").alias("doc_id"), F.least("u", "nbr").alias("lbl"))
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("u", "doc_id")
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
+            (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
+        )
+        stepped = stepped.localCheckpoint(eager=True)
+        labels = stepped.drop("chg")
+        if stepped.filter("chg").count() == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("lbl") == F.col("doc_id")).alias("keep"),
+    )
+
+
+def minhash_dedup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+    persist_shingles: bool = False,
+    max_iters: int = 25,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash-LSH pair generation -> exact
+    Jaccard verify -> connected components -> per-cluster keep decision.
+    The standard web-corpus dedup pipeline shape at cluster granularity."""
+    pairs = minhash_lsh_pairs(
+        docs,
+        n=n,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        persist_shingles=persist_shingles,
+    )
+    return connected_components(pairs, max_iters=max_iters)

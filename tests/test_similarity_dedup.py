@@ -288,3 +288,52 @@ def test_persist_sim_row_identical(spark) -> None:
     )
     assert plain == persisted
     spark.catalog.clearCache()
+
+
+def test_connected_components_multihop(spark) -> None:
+    """Min-label propagation must close chains transitively (label travels
+    one hop per round): a 5-node path, a triangle, and a disjoint pair
+    must each collapse to their min doc_id, keep=True only there."""
+    from don_crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # path 10-11-12-13-14 given as edges far from the min first,
+        # so convergence genuinely needs multiple rounds
+        [(13, 14), (12, 13), (11, 12), (10, 11),
+         # triangle 20-21-22 (cycle: every node reaches min in 1 hop)
+         (20, 21), (21, 22), (20, 22),
+         # disjoint pair
+         (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: (10, True), 11: (10, False), 12: (10, False),
+        13: (10, False), 14: (10, False),
+        20: (20, True), 21: (20, False), 22: (20, False),
+        30: (30, True), 31: (30, False),
+    }
+
+
+def test_connected_components_iteration_cap(spark) -> None:
+    """max_iters bounds the rounds; an under-budget run still returns a
+    valid partial labelling (labels only ever decrease toward the min)."""
+    from don_crawler_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    # diameter 5; 1 round cannot finish, labels must still be a
+    # superset-of-singleton partition with min-monotone labels
+    partial = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(chain, max_iters=1).collect()
+    }
+    assert all(lbl <= v for v, lbl in partial.items())
+    full = {
+        r.doc_id: r.cluster_id for r in connected_components(chain).collect()
+    }
+    assert full == {v: 0 for v in range(6)}
