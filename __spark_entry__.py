@@ -1248,6 +1248,59 @@ def ann_brute(spark, sf_dir):
     return SIM.brute_force_topk(emb, queries, k=10)
 
 
+@_q(
+    "ann_ivf_flat",
+    # IVF-Flat with deterministic seed centroids (vec_id < 16) — fully
+    # SQL-expressible, unlike the hyperplane-LSH path: assign = top-1
+    # centroid by cosine, probe = top-4 cells per query, exact cosine
+    # within probed cells. Same cosine formula/rounding as the
+    # brute-force row so the two ANN rows share precision conventions.
+    """WITH c AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             DESC, c.cell ASC) AS rn
+    FROM embeddings e, c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             DESC, c.cell ASC) AS rn
+    FROM q, c) WHERE rn <= 4),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+           AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell
+  JOIN q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, rank, neighbor_id, ROUND(cosine, 6) AS cosine FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+)
+def ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (second scale path next to LSH): coarse-quantize into
+    16 cells via deterministic seed centroids, probe 4 cells per query,
+    exact cosine within cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+
+
 @_q("ann_lsh_bucketed", None)  # numpy LSH projection: no SQL oracle, but
 # the output is fully deterministic (splitmix64 hyperplanes) and pinned
 # row-for-row against a frozen sf0.001 fixture plus a recall floor vs

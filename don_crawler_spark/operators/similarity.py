@@ -294,3 +294,102 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine -> (vec_id, cell). Centroids are the first
+    ``n_centroids`` data vectors by id — deterministic seed centroids
+    (production swaps in k-means means; the partition contract, join
+    shape, and this function's output schema are identical, and seed
+    centroids keep the whole operator oracle-expressible in SQL).
+
+    Scale: centroids broadcast (tiny by contract); assignment is one
+    map-side broadcast join + a per-vector top-1, so the big side
+    streams through codegen with no shuffle on vectors. Ties break on
+    centroid id (deterministic)."""
+    from pyspark.sql import Window
+
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("cos", cosine_col(F.col(vec_col), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize the corpus into
+    ``n_centroids`` cells (ivf_assign), probe each query's ``n_probe``
+    nearest cells, score exact cosine only within probed cells. The
+    second ANN scale path next to hyperplane LSH (lsh_topk): LSH costs
+    n_tables replicas of the corpus relation, IVF costs one assignment
+    pass + a candidate join bounded by n_probe/n_centroids of the
+    corpus per query. Same output contract as brute_force_topk
+    (query_id, rank, neighbor_id, cosine) — recall-only approximation,
+    scored cosines are exact.
+
+    Scale: the (query_id, cell, q_vec) probe relation is
+    queries x n_probe rows — broadcast; candidates never shuffle until
+    the final per-query top-k window (partitioned by query_id). Each
+    corpus vector lives in exactly one cell, so no cross-probe dedup
+    pass is needed."""
+    from pyspark.sql import Window
+
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cent))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell", "q_vec")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).join(
+        ivf_assign(embeddings, n_centroids, vec_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"), "cell"
+        ),
+        "neighbor_id",
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -337,3 +337,38 @@ def test_connected_components_iteration_cap(spark) -> None:
         r.doc_id: r.cluster_id for r in connected_components(chain).collect()
     }
     assert full == {v: 0 for v in range(6)}
+
+
+def test_ivf_recall_and_determinism(spark, emb) -> None:
+    """IVF-Flat (seed centroids, 16 cells, probe 4) must recover most
+    brute-force neighbors — near-uniform vectors are the hard case and it
+    measures ~0.9 at sf0.01 — and be exactly deterministic (pure column
+    expressions, no randomness anywhere)."""
+    from don_crawler_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    a = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect())
+    )
+    b = sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).collect())
+    )
+    assert a == b
+    approx = {(r[0], r[2]) for r in a}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_partitions_corpus(spark, emb) -> None:
+    """Every vector lands in exactly one cell and cells cover the corpus
+    (the no-cross-probe-dedup argument in ivf_topk relies on this)."""
+    from don_crawler_spark.operators.similarity import ivf_assign
+
+    assign = ivf_assign(emb, n_centroids=16).collect()
+    assert len(assign) == emb.count()
+    assert len({r["vec_id"] for r in assign}) == len(assign)
+    assert {r["cell"] for r in assign} <= set(range(16))
