@@ -47,9 +47,11 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_minhash_clusters",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_ivf_flat",
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
@@ -430,6 +432,10 @@ def main() -> None:
             t0 = time.monotonic()
             force(queries[name](spark, sf_dir))
             runs.append(round(time.monotonic() - t0, 3))
+        # the persist-hint queries (shingles / simhash / CC edges) cache
+        # relations per call; drop them so no query's median leans on a
+        # predecessor's blocks and memory stays flat across the suite
+        spark.catalog.clearCache()
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 
