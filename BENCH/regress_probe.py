@@ -48,6 +48,7 @@ def main() -> None:
     ap.add_argument("--kernels", action="store_true")
     ap.add_argument("--persist", action="store_true")
     ap.add_argument("--simhash-persist", action="store_true")
+    ap.add_argument("--codec", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -194,6 +195,30 @@ def main() -> None:
                      "probe_after": probe_mbs()}
                 )
         spark.catalog.clearCache()
+        print(json.dumps(results))
+
+    if args.codec:
+        # r4: the crawl wall is dominated by the per-round fetched_full
+        # parquet write (extracted text). zstd compresses text ~2x
+        # tighter than the snappy default — fewer dirtied bytes on the
+        # write-throttled host, less IO on a real warehouse. Interleaved
+        # crawl bench snappy vs zstd, same session.
+        from bench import run_crawl_bench
+
+        results = {}
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+        run_crawl_bench(spark, sf, max_rounds=1, n_pages=2000)  # warmup
+        for rep in range(args.repeats):
+            for codec in ("snappy", "zstd"):
+                spark.conf.set("spark.sql.parquet.compression.codec", codec)
+                p0 = probe_mbs()
+                r = run_crawl_bench(spark, sf)
+                results.setdefault(f"crawl:{codec}", []).append(
+                    {"wall": r["crawl_wall_sec"],
+                     "urls_per_sec": r["urls_per_sec"],
+                     "probe_before": p0, "probe_after": probe_mbs()}
+                )
+        spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
         print(json.dumps(results))
 
     spark.stop()
