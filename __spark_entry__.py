@@ -1222,6 +1222,43 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_embedding_clusters",
+    # connected components over the embedding near-dup graph (threshold
+    # 0.35 gives a non-trivial component structure on the synthetic
+    # vectors: 271 edges over 500 nodes at sf0.01) — same recursive
+    # reachability oracle shape as dedup_minhash_clusters
+    """WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= 0.35),
+edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst)
+SELECT src AS vec_id,
+       LEAST(src, MIN(dst)) AS cluster_id,
+       LEAST(src, MIN(dst)) = src AS keep
+FROM reach GROUP BY src""",
+)
+def dedup_embedding_clusters(spark, sf_dir):
+    """Embedding-space fuzzy dedup at cluster granularity: blocked-GEMM
+    near-dup pairs -> connected components -> one kept vector per
+    cluster (the semantic-dedup pipeline shape: SemDeDup-style corpus
+    pruning keyed on embedding clusters)."""
+    pairs = SIM.embedding_near_dup_pairs_gemm(
+        load(spark, sf_dir, "embeddings", respread=False), threshold=0.35
+    )
+    cc = DD.connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "keep"
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 

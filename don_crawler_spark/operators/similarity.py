@@ -157,6 +157,15 @@ def embedding_near_dup_pairs_gemm(
             lambda i: F.concat_ws(":", i.cast("string"), F.col("__blk").cast("string")),
         )),
     )
+    # Re-alias every rhs column (fresh attribute ids): both cogroup sides
+    # derive from the same relation, and Spark's self-relation dedup
+    # rewrites the Python-UDF arg list to the LEFT side's ids — a
+    # projection above the cogroup then prunes the right child down to
+    # the key and the kernel's right pdf loses vec_id/embedding
+    # (observed: `pairs.select("vec_a","vec_b")` KeyError'd in gemm;
+    # plan showed right output [__pair, __pair] only). Fresh ids keep the
+    # two sides' attributes disjoint so pruning stays per-side-correct.
+    rhs = rhs.select([F.col(c).alias(c) for c in rhs.columns])
 
     out_schema = "vec_a long, vec_b long, cosine double"
 

@@ -372,3 +372,18 @@ def test_ivf_assign_partitions_corpus(spark, emb) -> None:
     assert len(assign) == emb.count()
     assert len({r["vec_id"] for r in assign}) == len(assign)
     assert {r["cell"] for r in assign} <= set(range(16))
+
+
+def test_gemm_survives_downstream_projection(spark, emb) -> None:
+    """Regression: a projection above the GEMM cogroup used to prune the
+    right child to its key (Spark's self-relation dedup rewrote the UDF
+    arg list to left-side attribute ids), KeyError-ing the kernel. The
+    rhs re-alias in embedding_near_dup_pairs_gemm keeps both sides'
+    attributes disjoint; selecting a column subset must work and agree
+    with the full output."""
+    from don_crawler_spark.operators.similarity import embedding_near_dup_pairs_gemm
+
+    full = embedding_near_dup_pairs_gemm(emb, threshold=0.35)
+    sub = sorted(map(tuple, full.select("vec_a", "vec_b").collect()))
+    ref = sorted((r["vec_a"], r["vec_b"]) for r in full.collect())
+    assert sub == ref and len(sub) > 0
