@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from don_crawler_spark.operators import dedup as DD
 from don_crawler_spark.operators import multimodal as MM
+from don_crawler_spark.operators import pipeline as PL
 from don_crawler_spark.operators import similarity as SIM
 from don_crawler_spark.operators import textstats as TS
 from don_crawler_spark.operators.vitality import (
@@ -1439,6 +1440,123 @@ FROM documents""",
 )
 def text_fp(spark, sf_dir):
     return TS.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --- training-data pipeline ops (operators/pipeline.py) -----------------------
+
+
+@_q(
+    "text_repetition_stats",
+    # Gopher rep-2 / dup-3 rules (Rae et al. 2021 A1); DuckDB builds the
+    # same non-distinct k-gram lists positionally (1-indexed `range` is
+    # end-exclusive, matching Spark's `sequence(1, n-k+1)`)
+    f"""WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks WHERE len(t) >= 2),
+c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+t2 AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS frac2
+       FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+  FROM toks WHERE len(t) >= 3),
+c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+t3 AS (SELECT doc_id,
+              CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS DOUBLE) / SUM(c)
+                AS frac3
+       FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(COALESCE(t2.frac2, 0.0), 6) AS top2gram_frac,
+       ROUND(COALESCE(t3.frac3, 0.0), 6) AS dup3gram_frac
+FROM documents d
+LEFT JOIN t2 USING (doc_id)
+LEFT JOIN t3 USING (doc_id)""",
+)
+def text_repetition(spark, sf_dir):
+    return PL.repetition_stats(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_pack_sequences",
+    # concat-and-chunk layout: shard-partitioned running token offsets
+    # chopped at the 512-token budget; % == pmod (doc_id, offsets >= 0)
+    f"""WITH tc AS (
+  SELECT doc_id, CAST(doc_id % {PL.PACK_SHARDS} AS INT) AS shard,
+         CAST(len({SQL_TOKENS}) AS INT) AS n_tokens
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(floor((SUM(n_tokens) OVER w - n_tokens) / {PL.PACK_BUDGET}.0) AS INT)
+         AS bin_id,
+       CAST((SUM(n_tokens) OVER w - n_tokens) % {PL.PACK_BUDGET} AS INT)
+         AS bin_offset,
+       n_tokens
+FROM tc WINDOW w AS (PARTITION BY shard ORDER BY doc_id)""",
+)
+def doc_pack(spark, sf_dir):
+    return PL.pack_sequences(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "sample_stratified",
+    # hash-deterministic per-language downsampling; the uniform draw is
+    # the first 32 bits of md5(doc_id-as-string) on both engines
+    """WITH u AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS sample_u
+  FROM documents)
+SELECT doc_id, lang, ROUND(sample_u, 6) AS sample_u
+FROM u
+WHERE sample_u < CASE lang
+    WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.8
+    WHEN 'fr' THEN 0.8 WHEN 'zh' THEN 0.9 ELSE 1.0 END""",
+)
+def sample_strat(spark, sf_dir):
+    return PL.sample_stratified(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "asof_signup_attribution",
+    # point-in-time semantics pinned by a deterministic lateral top-1:
+    # greatest signup ts at-or-before the purchase, event_id tiebreak
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+       p.value AS amount,
+       r.event_id AS signup_event_id, r.ts AS signup_ts
+FROM events p
+LEFT JOIN LATERAL (
+  SELECT e.event_id, e.ts FROM events e
+  WHERE e.user_id = p.user_id AND e.event_type = 'signup'
+    AND e.ts <= p.ts
+  ORDER BY e.ts DESC, e.event_id DESC LIMIT 1
+) r ON TRUE
+WHERE p.event_type = 'purchase'""",
+)
+def asof_attr(spark, sf_dir):
+    """As-of join (operators/asof.py): attribute each purchase to the
+    user's latest signup at-or-before it — the canonical point-in-time
+    lookup, one shuffle + partitioned window, no range-join blowup."""
+    from don_crawler_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("amount")
+    )
+    ref = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(probe, ref, on="user_id", ts="ts", ref_order="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "amount",
+        F.col("ref_event_id").alias("signup_event_id"),
+        F.col("ref_ts").alias("signup_ts"),
+    )
 
 
 # --- multimodal plumbing -------------------------------------------------------

@@ -55,6 +55,8 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
+    "text_repetition_stats",
+    "doc_pack_sequences",
     "multimodal_features",
 ]
 

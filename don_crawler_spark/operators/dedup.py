@@ -38,13 +38,18 @@ def tokens_col(text: str = "text"):
 
 
 def shingles_col(n: int = 3, text: str = "text"):
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined). Docs shorter than n
+    tokens get an empty array — guarded with an explicit CASE, because
+    ``sequence(1, 0)`` is DESCENDING in Spark and ``element_at(_, 0)``
+    throws under ANSI."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     shingle = lambda i: F.concat_ws(
         " ", *[F.element_at(toks, i + j) for j in range(n)]
     )
-    return F.array_distinct(F.transform(idx, shingle))
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def exact_duplicates(docs: DataFrame) -> DataFrame:

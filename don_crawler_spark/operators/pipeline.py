@@ -1,0 +1,188 @@
+"""Training-data pipeline operators: repetition filters, sequence packing,
+stratified sampling.
+
+These extend the corpus-hygiene family (operators/textstats.py) with the
+three remaining operations a webtext training pipeline runs between
+extraction and tokenizer ingest:
+
+- Gopher-style repetition statistics (Rae et al. 2021, "Scaling Language
+  Models", table A1 rep-2/dup-3 rules): the fraction of a document covered
+  by its most frequent word 2-gram and by duplicated word 3-grams. High
+  values mark boilerplate / machine-generated spam.
+- Concat-and-chunk sequence packing: deterministically assign documents to
+  fixed-token-budget training bins, the standard pre-tokenization layout
+  step. Packing is SHARD-LOCAL (cumulative sums inside hash shards), so
+  the window is partitioned and the plan scales: one shuffle on the shard
+  key, no global ordering barrier at 10^10 docs.
+- Deterministic stratified sampling: per-language keep rates applied via a
+  uniform hash of the doc id — reproducible (no rand()), exactly
+  mirrorable in SQL, and embarrassingly parallel (pure map-side filter).
+
+All three are native column expressions / partitioned windows (no Python
+UDFs) with exact DuckDB oracles in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.dedup import tokens_col
+
+# stratified-sampling keep rates per language; languages not listed keep
+# everything (rate 1.0). Deterministic module constants so the DuckDB
+# oracle can inline identical literals.
+SAMPLE_RATES: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.8,
+    "es": 0.8,
+    "fr": 0.8,
+    "zh": 0.9,
+}
+SAMPLE_DEFAULT_RATE = 1.0
+
+PACK_BUDGET = 512  # tokens per training bin
+PACK_SHARDS = 16  # hash shards; packing is local to a shard
+
+
+def _grams(toks, k: int):
+    """All (non-distinct) word k-grams of a token array, space-joined.
+    Empty array when the doc has fewer than k tokens (guarded explicitly:
+    ``sequence(1, 0)`` is DESCENDING in Spark, and ``element_at(_, 0)``
+    throws under ANSI — short docs must never reach the transform)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _run_length_stats(grams):
+    """(max run length, Σ runs>1) over the SORTED gram array — i.e. the
+    modal gram's count and the duplicated-gram position count, computed
+    per row with one fold and no shuffle. State: (prev, current run,
+    max closed run, duplicated-position sum)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("maxrun"),
+        F.lit(0).cast("long").alias("dupsum"),
+    )
+
+    def step(acc, x):
+        extend = x.eqNullSafe(acc["prev"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(extend, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(extend, acc["maxrun"])
+            .otherwise(F.greatest(acc["maxrun"], acc["run"]))
+            .alias("maxrun"),
+            F.when(~extend & (acc["run"] > 1), acc["dupsum"] + acc["run"])
+            .otherwise(acc["dupsum"])
+            .alias("dupsum"),
+        )
+
+    def finish(acc):  # close the trailing run
+        return F.struct(
+            F.greatest(acc["maxrun"], acc["run"]).alias("maxrun"),
+            F.when(acc["run"] > 1, acc["dupsum"] + acc["run"])
+            .otherwise(acc["dupsum"])
+            .alias("dupsum"),
+        )
+
+    return F.aggregate(F.array_sort(grams), init, step, finish)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher repetition stats per doc:
+
+    - ``top2gram_frac``: occurrences of the modal word 2-gram / total
+      2-gram positions (0.0 when the doc has < 2 tokens).
+    - ``dup3gram_frac``: 3-gram positions whose 3-gram occurs more than
+      once in the doc / total 3-gram positions (0.0 when < 3 tokens).
+
+    Plan shape: both stats are doc-LOCAL, so the operator is pure
+    map-side — per row, sort the k-gram array and fold run lengths
+    (modal count = longest run, duplicated positions = Σ runs > 1). Zero
+    exchanges: the natural alternative (explode -> groupBy(doc_id, gram)
+    -> groupBy(doc_id)) ships N_docs x avg_len gram rows through two
+    shuffles for a quantity each row can compute alone. The fold is an
+    interpreted HOF, but O(len) per doc with a 4-field state — scan cost,
+    not shuffle cost, and the plan survives any corpus size that scans.
+    """
+    toks = tokens_col()
+    d = docs.select("doc_id", toks.alias("t"))
+    s2 = _run_length_stats(_grams(F.col("t"), 2))
+    s3 = _run_length_stats(_grams(F.col("t"), 3))
+    n2 = F.greatest(F.size(F.col("t")) - 1, F.lit(0))
+    n3 = F.greatest(F.size(F.col("t")) - 2, F.lit(0))
+    return d.select(
+        "doc_id",
+        F.round(
+            F.when(n2 > 0, s2["maxrun"] / n2).otherwise(F.lit(0.0)), 6
+        ).alias("top2gram_frac"),
+        F.round(
+            F.when(n3 > 0, s3["dupsum"] / n3).otherwise(F.lit(0.0)), 6
+        ).alias("dup3gram_frac"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Concat-and-chunk packing plan: documents are laid out in doc_id
+    order within hash shards and chopped into ``budget``-token bins; a doc
+    belongs to the bin where it starts (the standard concat-then-chunk
+    training layout, computed as metadata without touching text bytes).
+
+    Returns (doc_id, shard, bin_id, bin_offset, n_tokens). The window is
+    PARTITIONED by shard — packing never needs a global sort, so the plan
+    is one hash shuffle regardless of corpus size; shard count is the
+    write-parallelism knob a real tokenizer job would tune.
+    """
+    d = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(shards)).cast("int").alias("shard"),
+        F.size(tokens_col()).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return d.select("doc_id", "shard", "n_tokens", start).select(
+        "doc_id",
+        "shard",
+        F.floor(F.col("start") / F.lit(float(budget))).cast("int").alias("bin_id"),
+        F.pmod(F.col("start"), F.lit(budget)).cast("int").alias("bin_offset"),
+        "n_tokens",
+    )
+
+
+def sample_uniform_col(key=None):
+    """Deterministic uniform [0,1) draw from a row key: first 32 bits of
+    md5(key) scaled by 2^32. No rand() — reruns and the SQL oracle see
+    identical draws."""
+    key = F.col("doc_id").cast("string") if key is None else key
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return h / F.lit(4294967296.0)
+
+
+def sample_stratified(docs: DataFrame, rates: dict[str, float] | None = None) -> DataFrame:
+    """Hash-deterministic stratified sample: keep a doc iff its uniform
+    draw falls under its language's keep rate. Pure map-side filter (no
+    shuffle, no rand()): the natural downsampling step for rebalancing
+    language mixes at corpus scale.
+
+    Returns the kept (doc_id, lang, sample_u) rows, sample_u rounded for
+    stable cross-engine hashing.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    rate = F.lit(SAMPLE_DEFAULT_RATE)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    u = sample_uniform_col()
+    return (
+        docs.select("doc_id", "lang", u.alias("sample_u"))
+        .filter(F.col("sample_u") < rate)
+        .select("doc_id", "lang", F.round("sample_u", 6).alias("sample_u"))
+    )

@@ -1,0 +1,102 @@
+"""Behavioral tests for the training-data pipeline operators
+(operators/pipeline.py): crafted-input exactness for the Gopher repetition
+stats, packing invariants, an independent from-scratch replay of the
+stratified sampler, and plan-shape assertions (sampling is map-side only;
+packing's window is partitioned, never a global sort)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators import pipeline as PL
+from don_crawler_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_repetition_stats_crafted(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a b"x3, "b a"x2 -> top2 = 3/5
+            # trigrams: "a b a"x2, "b a b"x2 -> all positions dup -> 1.0
+            (1, "a b a b a b"),
+            # no repeated bigrams -> 1/3; no repeated trigrams -> 0.0
+            (2, "w x y z"),
+            # degenerate: one token, no grams at all
+            (3, "only"),
+            # modal bigram "p q" twice of 4 positions; dup3 0
+            (4, "p q r p q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["top2gram_frac"], r["dup3gram_frac"])
+        for r in PL.repetition_stats(docs).collect()
+    }
+    assert got[1] == (0.6, 1.0)
+    assert got[2] == (round(1 / 3, 6), 0.0)
+    assert got[3] == (0.0, 0.0)
+    assert got[4] == (0.5, 0.0)
+
+
+def test_pack_sequences_invariants(spark) -> None:
+    docs = load(spark, SF, "documents")
+    rows = PL.pack_sequences(docs).collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    budget = PL.PACK_BUDGET
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        start = 0
+        for r in rs:
+            assert r["doc_id"] % PL.PACK_SHARDS == shard
+            # doc starts where the previous one ended (concat-and-chunk)
+            assert r["bin_id"] == start // budget
+            assert r["bin_offset"] == start % budget
+            assert 0 <= r["bin_offset"] < budget
+            start += r["n_tokens"]
+
+
+def test_sample_stratified_matches_independent_replay(spark) -> None:
+    docs = load(spark, SF, "documents")
+    kept = {r["doc_id"]: r["lang"] for r in PL.sample_stratified(docs).collect()}
+
+    expect = {}
+    for r in docs.select("doc_id", "lang").collect():
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        u = int(h[:8], 16) / 2**32
+        rate = PL.SAMPLE_RATES.get(r["lang"], PL.SAMPLE_DEFAULT_RATE)
+        if u < rate:
+            expect[r["doc_id"]] = r["lang"]
+    assert kept == expect
+    # the sample actually thins the corpus (rates < 1 for every lang here)
+    assert 0 < len(kept) < docs.count()
+
+
+def test_sample_plan_is_map_side_only(spark) -> None:
+    plan = _plan(PL.sample_stratified(load(spark, SF, "documents", respread=False)))
+    assert "Exchange" not in plan  # pure scan -> project -> filter
+
+
+def test_repetition_plan_is_map_side_only(spark) -> None:
+    # doc-local run-length folds, not explode->groupBy pyramids: the
+    # whole operator must stay on the scan side of any exchange
+    plan = _plan(PL.repetition_stats(load(spark, SF, "documents", respread=False)))
+    assert "Exchange" not in plan
+
+
+def test_pack_plan_window_is_partitioned(spark) -> None:
+    plan = _plan(PL.pack_sequences(load(spark, SF, "documents", respread=False)))
+    # exactly one exchange: the hash shuffle onto shards; a global-sort
+    # packing would show a rangepartitioning exchange instead
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
