@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from don_crawler_spark.operators import dedup as DD
+from don_crawler_spark.operators import hygiene as HG
 from don_crawler_spark.operators import multimodal as MM
 from don_crawler_spark.operators import pipeline as PL
 from don_crawler_spark.operators import similarity as SIM
@@ -1557,6 +1558,155 @@ def asof_attr(spark, sf_dir):
         F.col("ref_event_id").alias("signup_event_id"),
         F.col("ref_ts").alias("signup_ts"),
     )
+
+
+# --- corpus hygiene (operators/hygiene.py) ------------------------------------
+
+
+@_q(
+    "text_pii_scrub",
+    # the synthetic docs carry no PII, so both engines first inject a
+    # deterministic email/IP/phone suffix into every 7th doc (identical
+    # expressions), then the scrub kernel is exercised for real; patterns
+    # are Java-regex/RE2-identical constructs (operators/hygiene.py)
+    f"""WITH pii AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN text
+      || ' contact agent' || CAST(doc_id AS VARCHAR)
+      || '@example.org from 10.' || CAST(doc_id % 200 AS VARCHAR)
+      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+      || ' or call +31 6123456' || CAST(78 + doc_id % 21 AS VARCHAR)
+    ELSE text END AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+    regexp_replace(text, '{HG.EMAIL_RE}', '{HG.EMAIL_TOKEN}', 'g') AS t1
+  FROM pii),
+s2 AS (
+  SELECT doc_id, text, t1,
+    regexp_replace(t1, '{HG.IPV4_RE}', '{HG.IPV4_TOKEN}', 'g') AS t2
+  FROM s)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{HG.EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t1, '{HG.IPV4_RE}')) AS INT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t2, '{HG.PHONE_RE}')) AS INT) AS n_phones,
+  regexp_replace(t2, '{HG.PHONE_RE}', '{HG.PHONE_TOKEN}', 'g') AS scrubbed
+FROM s2""",
+)
+def pii_scrub_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sfx = F.concat(
+        F.lit(" contact agent"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org from 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or call +31 6123456"),
+        (F.lit(78) + F.col("doc_id") % 21).cast("string"),
+    )
+    with_pii = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 7) == 0, F.concat(F.col("text"), sfx))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return HG.pii_scrub(with_pii)
+
+
+@_q(
+    "dedup_paragraphs",
+    # RefinedWeb-style corpus-wide paragraph dedup; the flat synthetic
+    # text has no newlines, so the registered binding splits on a literal
+    # common-word separator (' table ') — the operator itself takes any
+    # literal sep ('\\n\\n' on real web text). Keep-first = ROW_NUMBER
+    # over (doc_id, pos) here; the engine uses the skew-safe
+    # min(struct(doc_id, pos)) aggregate with identical semantics.
+    """WITH paras0 AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' table '), p -> trim(p) <> '') AS l
+  FROM documents),
+paras AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l) + 1),
+                               i -> {'pos': CAST(i - 1 AS INT), 'para': l[i]}),
+                recursive := true)
+  FROM paras0),
+ranked AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1),
+re AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         string_agg(para, ' ' ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(l) AS INT) AS n_paras FROM paras0)
+SELECT tot.doc_id, n_paras,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(text_deduped, '') AS text_deduped
+FROM tot LEFT JOIN re USING (doc_id)""",
+)
+def dedup_paragraphs_q(spark, sf_dir):
+    return HG.paragraph_dedup(load(spark, sf_dir, "documents"), sep=" table ")
+
+
+@_q(
+    "decontaminate_ngrams",
+    # GPT-3-style n-gram decontamination: benchmark = every 41st doc,
+    # train = the rest; a train doc is contaminated iff it shares any
+    # distinct word 5-gram with the benchmark set
+    f"""WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(t) - 3),
+           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                     || ' ' || t[i+4]))) AS g
+  FROM toks WHERE len(t) >= 5),
+eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),
+tg AS (SELECT doc_id, g FROM grams WHERE doc_id % 41 <> 0),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n
+  FROM tg JOIN eg USING (g) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(n, 0) AS n_shared_grams,
+       CAST(COALESCE(n, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+LEFT JOIN hits USING (doc_id)""",
+)
+def decontaminate_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter((F.col("doc_id") % 41) == 0)
+    train = docs.filter((F.col("doc_id") % 41) != 0)
+    return HG.decontaminate(train, bench, k=5)
+
+
+@_q(
+    "sample_temperature",
+    # alpha = 0.5 temperature mixing: w_l ∝ sqrt(p_l); keep rate scaled
+    # so the most up-weighted language keeps 100%; same md5 uniform draw
+    # as sample_stratified. sqrt (correctly rounded per IEEE) keeps the
+    # rates bit-identical across engines, unlike pow.
+    """WITH s AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+p AS (SELECT lang, n_l / CAST(SUM(n_l) OVER () AS DOUBLE) AS p_l FROM s),
+wts AS (SELECT lang, p_l, sqrt(p_l) / SUM(sqrt(p_l)) OVER () AS w_l FROM p),
+r AS (SELECT lang,
+             (w_l / p_l) / MAX(w_l / p_l) OVER () AS keep_rate
+      FROM wts),
+u AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS sample_u
+  FROM documents)
+SELECT doc_id, u.lang,
+       ROUND(sample_u, 6) AS sample_u,
+       ROUND(keep_rate, 6) AS keep_rate
+FROM u JOIN r ON u.lang = r.lang
+WHERE sample_u < keep_rate""",
+)
+def sample_temperature_q(spark, sf_dir):
+    return HG.temperature_sample(load(spark, sf_dir, "documents"))
 
 
 # --- multimodal plumbing -------------------------------------------------------

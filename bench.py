@@ -57,6 +57,10 @@ HEADLINE_QUERIES = [
     "text_fingerprint",
     "text_repetition_stats",
     "doc_pack_sequences",
+    "text_pii_scrub",
+    "dedup_paragraphs",
+    "decontaminate_ngrams",
+    "sample_temperature",
     "multimodal_features",
 ]
 

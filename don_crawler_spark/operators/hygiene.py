@@ -1,0 +1,239 @@
+"""Corpus-hygiene operators: PII scrubbing, paragraph-level exact dedup,
+benchmark decontamination, temperature-scaled language mixing.
+
+These complete the training-data pipeline family (operators/pipeline.py,
+operators/textstats.py, operators/dedup.py) with the four remaining
+standard webtext-curation steps:
+
+- **PII scrubbing** (C4 / CCNet style): redact emails, IPv4 addresses and
+  phone numbers with typed placeholder tokens, counting redactions per
+  class. Pure map-side regexp kernels — the patterns are restricted to
+  constructs with identical semantics in Java regex (Spark) and RE2
+  (DuckDB): no lookarounds, no backreferences, ASCII classes only, and
+  both engines scan leftmost-first, so the redacted text is byte-equal
+  across engines.
+- **Paragraph-level exact dedup** (RefinedWeb, Penedo et al. 2023 §4.2):
+  remove every repeated paragraph corpus-wide, keeping only its first
+  occurrence in (doc_id, position) order, and reassemble the surviving
+  text. The keeper per paragraph is a ``min(struct(doc_id, pos))``
+  AGGREGATE, not a window: partial (map-side) aggregation collapses even
+  a boilerplate paragraph duplicated 10^9 times before the shuffle,
+  where a row_number window would sort all copies in one task (the
+  classic skew cliff for this operator at web scale).
+- **Decontamination** (GPT-3 appendix C / PaLM style): flag training
+  documents sharing any word k-gram with a held-out benchmark set. The
+  benchmark's distinct k-grams are BROADCAST (eval suites are ~10^6-10^7
+  n-grams — trivially broadcastable next to a 10^10-doc corpus), so the
+  training side is a map-side hash probe: zero shuffle of corpus rows,
+  and the per-doc hit counts aggregate with map-side combine.
+- **Temperature sampling** (multilingual mixing, Conneau & Lample 2019):
+  re-weight languages by p^alpha (alpha=0.5, i.e. sqrt — chosen because
+  IEEE sqrt is correctly rounded and therefore bit-identical across
+  engines, unlike pow) and keep each doc with probability proportional
+  to w_l/p_l via the same deterministic md5 draw as
+  pipeline.sample_stratified. One tiny groupBy(lang) aggregate (map-side
+  combined, |langs| keys) broadcast back onto the corpus: the corpus
+  itself never shuffles.
+
+All four have exact DuckDB oracles in __spark_entry__.py; none uses a
+Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.dedup import shingles_col
+from don_crawler_spark.operators.pipeline import sample_uniform_col
+
+# PII patterns — Java-regex/RE2-identical constructs only (see module doc).
+# Applied in this order; counts are taken on the input of each stage so a
+# redacted span is never double-counted by a later pattern.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9 ]{6,14}[0-9]"
+
+EMAIL_TOKEN = "<EMAIL>"
+IPV4_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails, then IPv4s, then phone numbers from ``text``.
+
+    Returns (doc_id, n_emails, n_ipv4, n_phones, scrubbed). One map-side
+    projection — zero exchanges, whole-stage codegen'd; at 100 TB this is
+    scan-bound like any other per-row kernel.
+    """
+    t0 = F.col(text)
+    t1 = F.regexp_replace(t0, EMAIL_RE, EMAIL_TOKEN)
+    t2 = F.regexp_replace(t1, IPV4_RE, IPV4_TOKEN)
+    t3 = F.regexp_replace(t2, PHONE_RE, PHONE_TOKEN)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t0, F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t1, F.lit(IPV4_RE), 0)).alias("n_ipv4"),
+        F.size(F.regexp_extract_all(t2, F.lit(PHONE_RE), 0)).alias("n_phones"),
+        t3.alias("scrubbed"),
+    )
+
+
+def paragraph_dedup(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Corpus-wide exact paragraph dedup, keep-first in (doc_id, pos)
+    order (RefinedWeb §4.2). ``sep`` is a LITERAL separator (escaped
+    before the regex split so Spark and a literal-split oracle agree).
+
+    Returns one row per input doc: (doc_id, n_paras, n_kept,
+    text_deduped) — docs whose every paragraph already appeared earlier
+    come back with n_kept = 0 and an empty string, mirroring the
+    degrade-don't-drop convention of the crawl (P11).
+
+    Plan shape (the scale-critical part): the keeper for each paragraph
+    is ``min(struct(doc_id, pos))`` — a declarative aggregate with
+    map-side partial merge, so a paragraph duplicated 10^9 times
+    (cookie banners, nav boilerplate) collapses to one row per map task
+    before the exchange. The join back to occurrences is a hash probe on
+    the paragraph key (AQE splits residual skew); reassembly groups by
+    doc_id with collect_list + array_sort, bounded by document size.
+    Three keyed exchanges total (para-agg, para-join, doc_id regroup),
+    none carrying more than the surviving occurrence rows.
+    """
+    import re as _re
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.col("text"), _re.escape(sep)),
+                lambda p: F.trim(p) != "",
+            )
+        ).alias("pos", "para"),
+    )
+    keepers = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "pos")).alias("k")
+    )
+    # flatten the keeper struct so the semi-join below is on plain
+    # columns (avoids self-join lineage ambiguity: keepers derives from
+    # paras)
+    keepers = keepers.select(
+        F.col("para").alias("k_para"),
+        F.col("k.doc_id").alias("k_doc_id"),
+        F.col("k.pos").alias("k_pos"),
+    )
+    kept = paras.join(
+        keepers,
+        (paras["para"] == keepers["k_para"])
+        & (paras["doc_id"] == keepers["k_doc_id"])
+        & (paras["pos"] == keepers["k_pos"]),
+        "left_semi",
+    )
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text_deduped"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), _re.escape(sep)),
+                lambda p: F.trim(p) != "",
+            )
+        ).alias("n_paras"),
+    )
+    return (
+        totals.join(reassembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame, k: int = 5
+) -> DataFrame:
+    """Flag training docs sharing any word ``k``-gram with ``benchmark``
+    (GPT-3-style n-gram decontamination; the reference value there is
+    13-grams — parameterized here because the synthetic docs are short).
+
+    Returns every train row as (doc_id, n_shared_grams, contaminated).
+    The benchmark's distinct grams are broadcast — eval suites are tiny
+    next to the corpus — so the probe is map-side; per-doc hit counts
+    come from the distinct per-doc shingle array (no double counting),
+    and the small hit table broadcasts back onto the train docs. The
+    corpus is never shuffled.
+    """
+    eval_grams = (
+        benchmark.select(F.explode(shingles_col(k)).alias("gram")).distinct()
+    )
+    train_grams = train.select(
+        "doc_id", F.explode(shingles_col(k)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_grams"))
+    )
+    return train.select("doc_id").join(
+        F.broadcast(hits), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+        (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def temperature_sample(docs: DataFrame) -> DataFrame:
+    """Temperature-scaled language rebalancing with alpha = 0.5:
+    w_l ∝ sqrt(p_l), keep rate r_l = (w_l / p_l) normalized so the most
+    up-weighted language keeps everything. Deterministic md5 draw per
+    doc (pipeline.sample_uniform_col). Returns kept rows with the
+    per-language rate: (doc_id, lang, sample_u, keep_rate).
+
+    sqrt instead of a tunable pow: IEEE-754 sqrt is correctly rounded,
+    so Spark and the DuckDB oracle compute bit-identical rates; pow is
+    only faithfully rounded and may differ in the last ulp across libms.
+    """
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # |langs| rows: window over the tiny aggregate is driver-cheap and
+    # never sees corpus rows
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    stats = stats.select(
+        "lang",
+        (F.col("n_l") / F.sum("n_l").over(w)).alias("p_l"),
+    ).select(
+        "lang",
+        "p_l",
+        (F.sqrt("p_l") / F.sum(F.sqrt("p_l")).over(w)).alias("w_l"),
+    )
+    rates = stats.select(
+        "lang",
+        (F.col("w_l") / F.col("p_l")).alias("boost"),
+    )
+    rates = rates.select(
+        "lang",
+        (F.col("boost") / F.max("boost").over(w)).alias("keep_rate"),
+    )
+    u = sample_uniform_col()
+    return (
+        docs.select("doc_id", "lang", u.alias("sample_u"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("sample_u") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round("sample_u", 6).alias("sample_u"),
+            F.round("keep_rate", 6).alias("keep_rate"),
+        )
+    )

@@ -1,0 +1,206 @@
+"""Behavioral + plan-shape tests for the corpus-hygiene operators
+(operators/hygiene.py): PII scrubbing, paragraph-level dedup, n-gram
+decontamination, temperature sampling. Crafted inputs pin the semantics
+the sf-table oracle rows can't exercise (real newlines, multi-PII docs,
+boundary-rate languages); plan assertions pin the scale shapes
+(map-side-only scrub, no window in the paragraph keeper, broadcast-only
+decontamination)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators import hygiene as HG
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- PII scrub ---------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_all_three_classes(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@sub.example.co.uk then 192.168.1.255 and +31 6 1234 5678 end"),
+            (2, "two mails x@y.io and z@w.org"),
+            (3, "no pii here at all"),
+            (4, "ip 8.8.8.8 twice 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.pii_scrub(docs).collect()}
+    assert rows[1]["n_emails"] == 1
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[1]["n_phones"] == 1
+    assert rows[1]["scrubbed"] == "mail <EMAIL> then <IP> and <PHONE> end"
+    assert rows[2]["n_emails"] == 2
+    assert rows[2]["scrubbed"] == "two mails <EMAIL> and <EMAIL>"
+    assert rows[3]["scrubbed"] == "no pii here at all"
+    assert (rows[3]["n_emails"], rows[3]["n_ipv4"], rows[3]["n_phones"]) == (0, 0, 0)
+    assert rows[4]["n_ipv4"] == 2
+    assert rows[4]["scrubbed"] == "ip <IP> twice <IP>"
+
+
+def test_pii_scrub_counts_each_span_once(spark) -> None:
+    """An email's digits/dots must not re-count as IP or phone: counts are
+    taken on the progressively scrubbed text."""
+    docs = spark.createDataFrame(
+        [(1, "reach 99.88.77.66@a1.b2.example.org ok")],
+        "doc_id long, text string",
+    )
+    r = HG.pii_scrub(docs).collect()[0]
+    assert r["n_emails"] == 1
+    assert r["n_ipv4"] == 0
+    assert r["n_phones"] == 0
+    assert r["scrubbed"] == "reach <EMAIL> ok"
+
+
+def test_pii_scrub_is_exchange_free(spark) -> None:
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = _plan(HG.pii_scrub(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- paragraph dedup -----------------------------------------------------------
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+            (2, "shared boilerplate\n\ndelta"),
+            (3, "shared boilerplate"),  # fully duplicated doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.paragraph_dedup(docs, sep="\n\n").collect()}
+    assert rows[1]["n_paras"] == 3 and rows[1]["n_kept"] == 3
+    assert rows[1]["text_deduped"] == "alpha beta shared boilerplate gamma"
+    assert rows[2]["n_paras"] == 2 and rows[2]["n_kept"] == 1
+    assert rows[2]["text_deduped"] == "delta"
+    # degrade-don't-drop: the all-duplicate doc still gets a row
+    assert rows[3]["n_paras"] == 1 and rows[3]["n_kept"] == 0
+    assert rows[3]["text_deduped"] == ""
+
+
+def test_paragraph_dedup_within_doc_and_empty_paras(spark) -> None:
+    docs = spark.createDataFrame(
+        [(1, "\n\nsame\n\nsame\n\n  \n\nother")],
+        "doc_id long, text string",
+    )
+    r = HG.paragraph_dedup(docs, sep="\n\n").collect()[0]
+    # leading + whitespace-only paragraphs dropped; in-doc repeat deduped
+    assert r["n_paras"] == 3
+    assert r["n_kept"] == 2
+    assert r["text_deduped"] == "same other"
+
+
+def test_paragraph_dedup_plan_uses_partial_agg_not_window(spark) -> None:
+    """The keeper is min(struct(doc_id,pos)) — a partial-mergeable
+    aggregate, NOT a row_number window (which would sort every copy of a
+    hot boilerplate paragraph in one task at web scale)."""
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string"
+    )
+    plan = _plan(HG.paragraph_dedup(docs, sep="\n\n"))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# --- decontamination -----------------------------------------------------------
+
+
+def test_decontaminate_flags_shared_kgrams(spark) -> None:
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares "quick brown fox jumps over" (and more)
+            (1, "a quick brown fox jumps over fences daily"),
+            (2, "completely unrelated words in this one here"),
+            (3, "too short"),  # < 5 tokens: can't share a 5-gram
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.decontaminate(train, bench, k=5).collect()}
+    assert rows[1]["contaminated"] and rows[1]["n_shared_grams"] >= 1
+    assert not rows[2]["contaminated"] and rows[2]["n_shared_grams"] == 0
+    assert not rows[3]["contaminated"]
+    assert len(rows) == 3  # every train doc gets a verdict row
+
+
+def test_decontaminate_counts_distinct_grams_once(spark) -> None:
+    bench = spark.createDataFrame(
+        [(9, "x y z w v")], "doc_id long, text string"
+    )
+    # the shared 5-gram occurs twice in the train doc; per-doc shingles
+    # are DISTINCT, so it counts once
+    train = spark.createDataFrame(
+        [(1, "x y z w v x y z w v")], "doc_id long, text string"
+    )
+    r = HG.decontaminate(train, bench, k=5).collect()[0]
+    assert r["n_shared_grams"] == 1
+
+
+def test_decontaminate_never_shuffles_the_train_side(spark) -> None:
+    """Both joins (gram probe, verdict join-back) must be broadcasts: the
+    corpus never crosses an exchange."""
+    bench = spark.createDataFrame([(9, "x y z w v")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = _plan(HG.decontaminate(train, bench, k=5))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+# --- temperature sampling -------------------------------------------------------
+
+
+def test_temperature_sample_rates_match_replay(spark) -> None:
+    """keep_rate must equal the sqrt-temperature formula, with the rarest
+    language pinned at 1.0 and the majority language strictly below its
+    own stratified share."""
+    rows = [(i, "en" if i < 80 else ("de" if i < 95 else "nl")) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = HG.temperature_sample(docs.withColumn("text", F.lit("t")))
+    got = {(r["lang"]): r["keep_rate"] for r in out.collect()}
+
+    p = {"en": 0.80, "de": 0.15, "nl": 0.05}
+    z = sum(math.sqrt(v) for v in p.values())
+    boost = {l: (math.sqrt(v) / z) / v for l, v in p.items()}
+    mx = max(boost.values())
+    want = {l: round(b / mx, 6) for l, b in boost.items()}
+    for lang, rate in got.items():
+        assert rate == pytest.approx(want[lang], abs=1e-6), lang
+    assert want["nl"] == 1.0  # rarest language keeps everything
+    assert got.get("en", want["en"]) < 1.0
+
+
+def test_temperature_sample_draw_is_md5_deterministic(spark) -> None:
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(50)], "doc_id long, lang string"
+    ).withColumn("text", F.lit("t"))
+    out = {r["doc_id"]: r["sample_u"] for r in HG.temperature_sample(docs).collect()}
+    # single language => keep_rate 1.0, every doc kept; replay the draw
+    assert len(out) == 50
+    for i, u in out.items():
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) / 2**32
+        assert u == pytest.approx(round(h, 6), abs=1e-9)
+
+
+def test_temperature_sample_corpus_side_is_broadcast_joined(spark) -> None:
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(30)],
+        "doc_id long, lang string",
+    ).withColumn("text", F.lit("t"))
+    plan = _plan(HG.temperature_sample(docs))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
