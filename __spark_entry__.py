@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from don_crawler_spark.operators import dedup as DD
+from don_crawler_spark.operators import graph as GR
 from don_crawler_spark.operators import hygiene as HG
+from don_crawler_spark.operators import quality as QL
 from don_crawler_spark.operators import multimodal as MM
 from don_crawler_spark.operators import pipeline as PL
 from don_crawler_spark.operators import similarity as SIM
@@ -1707,6 +1709,122 @@ WHERE sample_u < keep_rate""",
 )
 def sample_temperature_q(spark, sf_dir):
     return HG.temperature_sample(load(spark, sf_dir, "documents"))
+
+
+# --- quality scoring (operators/quality.py) -----------------------------------
+# EXACTNESS: both quality queries and graph_pagerank below replace every
+# distributed float SUM with a fixed-point BIGINT sum (nano units) —
+# integer addition is order-independent, so Spark and DuckDB agree
+# bit-for-bit; see operators/quality.py module doc.
+
+
+@_q(
+    "quality_ppl_buckets",
+    # CCNet-style unigram-LM perplexity terciles; reference slice =
+    # doc_id % 10 == 0; add-one smoothing; per-token nll quantized to
+    # BIGINT nano-nats BEFORE the per-doc sum
+    f"""WITH toks AS (SELECT doc_id, lang, {SQL_TOKENS} AS t FROM documents),
+ref AS (SELECT unnest(t) AS tok FROM toks WHERE doc_id % 10 = 0),
+freq AS (SELECT tok, COUNT(*) AS c FROM ref GROUP BY tok),
+consts AS (SELECT CAST(SUM(c) AS BIGINT) AS n_ref, COUNT(*) AS v_ref FROM freq),
+tt AS (SELECT doc_id, lang, len(t) AS n_tokens, unnest(t) AS tok
+       FROM toks WHERE len(t) > 0),
+scored AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(ROUND(-ln((COALESCE(c, 0) + 1) / (n_ref + v_ref + 1.0))
+               * 1000000000) AS BIGINT) AS nll_i
+  FROM tt LEFT JOIN freq USING (tok) CROSS JOIN consts),
+agg AS (SELECT doc_id, ANY_VALUE(lang) AS lang,
+               ANY_VALUE(n_tokens) AS n_tokens,
+               CAST(SUM(nll_i) AS BIGINT) AS s
+        FROM scored GROUP BY doc_id),
+b AS (SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+             ROUND(s / (n_tokens * 1000000000.0), 6) AS avg_nll FROM agg)
+SELECT doc_id, lang, n_tokens, avg_nll,
+       CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY avg_nll, doc_id)
+            AS INT) AS bucket
+FROM b""",
+)
+def ppl_buckets_q(spark, sf_dir):
+    return QL.ppl_buckets(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_tfidf_topk",
+    f"""WITH toks AS (SELECT doc_id, unnest({SQL_TOKENS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (SELECT doc_id, tok, tf,
+        CAST(ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1000000000)
+             AS BIGINT) AS w_i
+      FROM tf JOIN df USING (tok) CROSS JOIN nd),
+r AS (SELECT doc_id, tok, tf, w_i,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w_i DESC, tok) AS rank
+      FROM s)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term, CAST(tf AS INT) AS tf,
+       ROUND(w_i / 1000000000.0, 6) AS tfidf
+FROM r WHERE rank <= 3""",
+)
+def tfidf_topk_q(spark, sf_dir):
+    return QL.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+# --- link-graph analytics (operators/graph.py) --------------------------------
+
+
+def _pagerank_oracle(n_hosts: int = 211, iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.pagerank — all
+    integer arithmetic (// is floor division; every value non-negative),
+    so it matches the engine bit-for-bit."""
+    nh, nano = n_hosts, 1_000_000_000
+    parts = [
+        f"""WITH raw_edges AS (
+  SELECT doc_id % {nh} AS src,
+         (doc_id // {nh} * 13 + doc_id * 31 + 7) % {nh} AS dst FROM documents
+  UNION ALL
+  SELECT (doc_id * 7 + 1) % {nh},
+         (doc_id // {nh} * 29 + doc_id * 17 + 3) % {nh} FROM documents
+  UNION ALL
+  SELECT (doc_id * 13 + 5) % {nh},
+         (doc_id // {nh} * 37 + doc_id * 41 + 11) % {nh}
+  FROM documents WHERE doc_id % 3 = 0),
+edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+nodes AS (SELECT DISTINCT host FROM
+          (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+degs AS (SELECT src AS host, COUNT(*) AS deg FROM edges GROUP BY src),
+nd AS (SELECT n.host, COALESCE(d.deg, 0) AS deg
+       FROM nodes n LEFT JOIN degs d USING (host)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+it0 AS (SELECT host, deg, CAST({nano} // n AS BIGINT) AS r
+        FROM nd CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""sh{k} AS (SELECT e.dst AS host, CAST(SUM(p.r // p.deg) AS BIGINT) AS s
+        FROM edges e JOIN it{p} p ON e.src = p.host GROUP BY e.dst),
+dg{k} AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dsum
+          FROM it{p} WHERE deg = 0),
+it{k} AS (SELECT nd.host, nd.deg,
+            CAST({15 * nano} // (100 * n)
+                 + (85 * (COALESCE(s, 0) + dsum // n)) // 100 AS BIGINT) AS r
+          FROM nd LEFT JOIN sh{k} USING (host)
+          CROSS JOIN dg{k} CROSS JOIN nn)"""
+        )
+    parts.append(
+        f"""SELECT CAST(host AS INT) AS host, CAST(deg AS INT) AS out_deg,
+       r AS pagerank_nano, ROUND(r / {nano}.0, 6) AS pagerank
+FROM it{iters}"""
+    )
+    head, tail = parts[0], parts[-1]
+    return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
+
+
+@_q("graph_pagerank", _pagerank_oracle())
+def pagerank_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return GR.pagerank(GR.synth_host_edges(docs, n_hosts=211), iters=5)
 
 
 # --- multimodal plumbing -------------------------------------------------------

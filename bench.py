@@ -61,6 +61,9 @@ HEADLINE_QUERIES = [
     "dedup_paragraphs",
     "decontaminate_ngrams",
     "sample_temperature",
+    "quality_ppl_buckets",
+    "text_tfidf_topk",
+    "graph_pagerank",
     "multimodal_features",
 ]
 

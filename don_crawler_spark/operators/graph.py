@@ -1,0 +1,137 @@
+"""Link-graph analytics: host-level PageRank as an iterative
+DataFrame-Pregel loop.
+
+Web-crawl curation pipelines use link-graph centrality as a quality /
+crawl-priority signal (Common Crawl publishes host-level harmonic
+centrality and PageRank rankings; OPIC and its descendants drive
+frontier scheduling). The driver testdata has no link table, so the
+query binding synthesises a deterministic host graph from ``documents``
+with closed-form integer expressions evaluated identically by Spark and
+the DuckDB oracle (same pattern as the PII-injection oracle in
+__spark_entry__.py) — the operator itself takes any (src, dst) edge
+DataFrame.
+
+EXACTNESS DESIGN (shared with operators/quality.py): the entire
+iteration runs in BIGINT "nano-rank" fixed point. Rank mass starts at
+``1e9 // n``; each step is
+
+    share(u)  = r(u) DIV deg(u)                    -- integer division
+    agg(v)    = SUM share(u) over in-edges          -- exact integer sum
+    dangling  = SUM r(u) over deg(u)=0 nodes, DIV n
+    r'(v)     = (15*1e9) DIV (100*n)  +  (85 * (agg(v) + dangling)) DIV 100
+
+i.e. damping d = 0.85 expressed as the rational 85/100 with explicit
+floor division. Every operation is integer arithmetic: no
+floating-point sum ordering, no ULP drift across 5 iterations, no
+rounding boundaries — the Spark result and the DuckDB unrolled-CTE
+oracle agree bit-for-bit. The floor losses bias each rank down by
+< n·5e-9 relative; acceptable for a ranking signal and fully specified.
+
+SCALE NOTES: the edge relation is hash-partitioned by ``src`` ONCE and
+persisted; every iteration's rank join then reuses that partitioning
+(ranks are shuffled to the edges, never the reverse — edges outnumber
+nodes 10-100x on web graphs). Per-iteration state is one (host, r)
+BIGINT pair per node. The dangling-mass term is a global 1-row
+aggregate crossJoin-broadcast back — map-side, no extra exchange of the
+rank relation. Five fixed iterations unroll into one Catalyst plan, so
+``pagerank`` stays a pure lazy DataFrame (the queries() contract);
+long-horizon convergence runs would localCheckpoint every ~5 rounds to
+cap lineage, exactly as plans/driver.py does for the crawl frontier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NANO = 1_000_000_000
+
+
+def synth_host_edges(docs: DataFrame, n_hosts: int = 211) -> DataFrame:
+    """Deterministic synthetic host graph: each document contributes two
+    edges (plus a third from every 3rd doc) whose endpoints mix both the
+    low (mod) and high (div) bits of doc_id, so out-degrees vary by
+    host. Self-loops removed, edges deduplicated. Mirrored verbatim in
+    the DuckDB oracle."""
+    # integer-only expressions (DIV / %): exact and identical in DuckDB
+    nh = n_hosts
+    d = docs.select("doc_id")
+    e1 = d.selectExpr(
+        f"doc_id % {nh} AS src",
+        f"(doc_id DIV {nh} * 13 + doc_id * 31 + 7) % {nh} AS dst",
+    )
+    e2 = d.selectExpr(
+        f"(doc_id * 7 + 1) % {nh} AS src",
+        f"(doc_id DIV {nh} * 29 + doc_id * 17 + 3) % {nh} AS dst",
+    )
+    e3 = d.filter((F.col("doc_id") % 3) == 0).selectExpr(
+        f"(doc_id * 13 + 5) % {nh} AS src",
+        f"(doc_id DIV {nh} * 37 + doc_id * 41 + 11) % {nh} AS dst",
+    )
+    return (
+        e1.unionAll(e2).unionAll(e3)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Integer fixed-point PageRank (see module doc). Input: (src, dst)
+    integer edges, deduplicated. Output: one row per node with its
+    out-degree and rank in nano units plus the rounded double."""
+    spark = edges.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    # partition the (static) edge relation by src once; every iteration's
+    # rank join reuses this layout, so only the small rank relation moves
+    edges = edges.repartition(cores, "src").persist()
+
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    n1 = nodes.agg(F.count("*").alias("n"))
+    # static per-node state: host, out-degree (0 = dangling), node count
+    nd = (
+        nodes.join(deg, nodes["host"] == deg["src"], "left")
+        .select("host", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        .crossJoin(F.broadcast(n1))
+    )
+
+    ranks = nd.select(
+        "host", "deg", "n", F.expr(f"{NANO} DIV n").alias("r")
+    )
+    for _ in range(iters):
+        # messages: each non-dangling node splits its rank over out-edges
+        shares = (
+            edges.join(ranks, edges["src"] == ranks["host"])
+            .select(F.col("dst"), F.expr("r DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        dang = (
+            ranks.filter(F.col("deg") == 0)
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
+        )
+        ranks = (
+            nd.join(shares, nd["host"] == shares["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                "deg",
+                "n",
+                # 15*NANO precomputed in Python: as two INT literals the
+                # product overflows int32 under ANSI mode
+                F.expr(
+                    f"{15 * NANO}L DIV (100 * n)"
+                    " + (85 * (coalesce(s, 0) + dsum DIV n)) DIV 100"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        F.col("host").cast("int").alias("host"),
+        F.col("deg").cast("int").alias("out_deg"),
+        F.col("r").alias("pagerank_nano"),
+        F.round(F.col("r") / F.lit(float(NANO)), 6).alias("pagerank"),
+    )

@@ -1,0 +1,157 @@
+"""Behavioral tests for operators/quality.py and operators/graph.py —
+hand-computed fixtures plus plan shape (broadcast dims, no Python UDF).
+Oracle conformance at sf0.01 is covered by test_entry.py for all three
+query bindings (quality_ppl_buckets, text_tfidf_topk, graph_pagerank)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.graph import NANO, pagerank, synth_host_edges
+from don_crawler_spark.operators.quality import ppl_buckets, tfidf_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+# --- pagerank -----------------------------------------------------------------
+
+
+def test_pagerank_two_node_cycle(spark) -> None:
+    """a<->b: symmetric graph, ranks must be equal and stable at the
+    fixed point b + 0.85*r (r = NANO//2 survives the integer map)."""
+    e = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    out = {r["host"]: r for r in pagerank(e, iters=5).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["pagerank_nano"] == out[1]["pagerank_nano"]
+    # mass approximately conserved (floor losses < iters * n nanos)
+    total = out[0]["pagerank_nano"] + out[1]["pagerank_nano"]
+    assert abs(total - NANO) < 100
+
+
+def test_pagerank_dangling_mass_redistributed(spark) -> None:
+    """0->1, 1 dangling: without dangling redistribution node 0 would
+    decay to the teleport floor while 1 keeps receiving; with it, 1's
+    outflow returns to both nodes equally. Replay the integer recurrence
+    in Python and demand bit equality."""
+    e = spark.createDataFrame([(0, 1)], "src long, dst long")
+    out = {r["host"]: r["pagerank_nano"] for r in pagerank(e, iters=5).collect()}
+
+    n = 2
+    r = {0: NANO // n, 1: NANO // n}
+    for _ in range(5):
+        dang = r[1] // n
+        base = (15 * NANO) // (100 * n)
+        r = {
+            0: base + (85 * (0 + dang)) // 100,
+            1: base + (85 * (r[0] // 1 + dang)) // 100,
+        }
+    assert out == r
+    assert out[1] > out[0]  # the sink still accumulates more
+
+
+def test_pagerank_out_degrees(spark) -> None:
+    e = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    out = {r["host"]: r["out_deg"] for r in pagerank(e, iters=1).collect()}
+    assert out == {0: 2, 1: 1, 2: 0}
+
+
+def test_synth_host_edges_deterministic_and_loop_free(spark) -> None:
+    docs = spark.range(0, 400).select(F.col("id").alias("doc_id"))
+    e = synth_host_edges(docs, n_hosts=97)
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert rows == {(r["src"], r["dst"]) for r in e.collect()}  # stable
+    assert all(s != d for s, d in rows)
+    assert all(0 <= s < 97 and 0 <= d < 97 for s, d in rows)
+    # high-bit mixing gives varying out-degrees (not a pure permutation)
+    degs = e.groupBy("src").count()
+    assert degs.select(F.countDistinct("count")).first()[0] > 1
+
+
+def test_pagerank_plan_reuses_src_partitioning(spark) -> None:
+    """The edge relation is repartitioned by src once and persisted; the
+    per-iteration rank joins must not introduce a Python UDF and the
+    final plan should carry the InMemoryRelation for edges."""
+    e = synth_host_edges(
+        spark.range(0, 300).select(F.col("id").alias("doc_id")), n_hosts=53
+    )
+    plan = pagerank(e, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- ppl buckets --------------------------------------------------------------
+
+
+def test_ppl_buckets_reference_docs_score_lower(spark) -> None:
+    """Docs made of reference-slice vocabulary must land in a lower (or
+    equal) bucket than a doc of tokens the reference never saw."""
+    rows = [
+        (0, "en", "alpha beta gamma alpha beta"),  # reference (0 % 10 == 0)
+        (10, "en", "alpha beta alpha beta gamma"),  # reference
+        (1, "en", "alpha beta gamma"),  # in-vocab
+        (2, "en", "zzz qqq xxx"),  # fully OOV
+        (3, "en", "alpha alpha alpha"),  # most common token
+    ]
+    out = {r["doc_id"]: r for r in ppl_buckets(_docs(spark, rows)).collect()}
+    assert len(out) == 5
+    assert out[3]["avg_nll"] < out[2]["avg_nll"]
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]
+    assert out[2]["bucket"] == 3  # OOV doc is the tail of its language
+    # hand-check doc 3: p(alpha) = (c+1)/(N+V+1); refs have N=10 tokens,
+    # V=3 distinct, alpha count 4
+    expect = -math.log((4 + 1) / (10 + 3 + 1))
+    assert abs(out[3]["avg_nll"] - round(expect, 6)) <= 1e-6
+
+
+def test_ppl_buckets_terciles_per_language(spark) -> None:
+    rows = [(i, "en" if i % 2 else "nl", "w%d tok" % (i % 4)) for i in range(24)]
+    out = ppl_buckets(_docs(spark, rows))
+    per = (
+        out.groupBy("lang", "bucket").count().collect()
+    )
+    # ntile(3) over 12 docs per lang -> 4/4/4
+    assert {(r["lang"], r["bucket"]): r["count"] for r in per} == {
+        (lang, b): 4 for lang in ("en", "nl") for b in (1, 2, 3)
+    }
+
+
+def test_ppl_buckets_plan_broadcasts_vocab(spark) -> None:
+    docs = _docs(spark, [(i, "en", "a b c") for i in range(30)])
+    plan = ppl_buckets(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- tfidf --------------------------------------------------------------------
+
+
+def test_tfidf_ranks_distinctive_term_first(spark) -> None:
+    rows = [
+        (1, "en", "common rare1 common"),
+        (2, "en", "common rare2"),
+        (3, "en", "common rare3"),
+    ]
+    out = tfidf_topk(_docs(spark, rows), k=2).collect()
+    top = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    # 'common' appears in every doc -> idf 0 -> the rare term wins
+    assert top == {1: "rare1", 2: "rare2", 3: "rare3"}
+    z = [r for r in out if r["term"] == "common"]
+    assert all(r["tfidf"] == 0.0 for r in z)
+
+
+def test_tfidf_tie_breaks_on_term(spark) -> None:
+    rows = [(1, "en", "bbb aaa"), (2, "en", "ccc")]
+    out = [r for r in tfidf_topk(_docs(spark, rows), k=2).collect() if r["doc_id"] == 1]
+    assert [r["term"] for r in sorted(out, key=lambda r: r["rank"])] == ["aaa", "bbb"]
+
+
+def test_tfidf_respects_k(spark) -> None:
+    rows = [(1, "en", "a b c d e f g h")]
+    out = tfidf_topk(_docs(spark, rows), k=3).collect()
+    assert len(out) == 3 and sorted(r["rank"] for r in out) == [1, 2, 3]
