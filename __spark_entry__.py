@@ -1770,6 +1770,59 @@ def tfidf_topk_q(spark, sf_dir):
     return QL.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
 
 
+# --- bucketed storage layout (sources/bucketed.py) ----------------------------
+
+
+@_q(
+    "k4_bucketed_join",
+    # the oracle sees only the logical query; the Spark side runs it over
+    # a bucketed layout (orders + lineitem bucketed by orderkey, 8
+    # buckets) where scan -> SMJ -> per-order agg is exchange-free
+    # (plan-asserted in tests/test_bucketed.py)
+    """SELECT o_orderkey, o_orderpriority,
+       CAST(COUNT(*) AS INT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                * CAST(1.0 - l_discount AS DECIMAL(18,4))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderkey, o_orderpriority""",
+)
+def bucketed_join_q(spark, sf_dir):
+    import re as _re
+
+    from don_crawler_spark.sources import bucketed as BK
+
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/"))
+    ot, lt = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    BK.write_bucketed(
+        load(spark, sf_dir, "orders", respread=False), ot, "o_orderkey", 8,
+        sort_col="o_orderkey",
+    )
+    BK.write_bucketed(
+        load(spark, sf_dir, "lineitem", respread=False), lt, "l_orderkey", 8,
+        sort_col="l_orderkey",
+    )
+    o = BK.bucketed(spark, ot).filter(F.col("o_orderstatus") == "O")
+    li = BK.bucketed(spark, lt)
+    # hint("merge"): at warehouse scale both sides are huge fact tables —
+    # SMJ over aligned buckets is the plan the layout exists for; without
+    # the hint the small-SF testdata auto-broadcasts and the demo is moot
+    return (
+        o.hint("merge").join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("*").cast("int").alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # --- link-graph analytics (operators/graph.py) --------------------------------
 
 

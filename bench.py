@@ -64,6 +64,7 @@ HEADLINE_QUERIES = [
     "quality_ppl_buckets",
     "text_tfidf_topk",
     "graph_pagerank",
+    "k4_bucketed_join",
     "multimodal_features",
 ]
 
