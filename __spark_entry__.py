@@ -22,6 +22,7 @@ from don_crawler_spark.operators import dedup as DD
 from don_crawler_spark.operators import graph as GR
 from don_crawler_spark.operators import hygiene as HG
 from don_crawler_spark.operators import quality as QL
+from don_crawler_spark.operators import sessions as SS
 from don_crawler_spark.operators import multimodal as MM
 from don_crawler_spark.operators import pipeline as PL
 from don_crawler_spark.operators import similarity as SIM
@@ -1768,6 +1769,53 @@ FROM r WHERE rank <= 3""",
 )
 def tfidf_topk_q(spark, sf_dir):
     return QL.tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+@_q(
+    "text_length_quantiles",
+    # exact interpolated quantiles — Spark percentile() and DuckDB
+    # quantile_cont share the (1-g)*lo + g*hi definition; integer
+    # n_chars keeps the arithmetic exactly representable
+    """SELECT lang, CAST(COUNT(*) AS INT) AS n_docs,
+       ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+       ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.75), 6) AS p75,
+       ROUND(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang""",
+)
+def length_quantiles_q(spark, sf_dir):
+    return QL.length_quantiles(load(spark, sf_dir, "documents"))
+
+
+# --- event sessionization (operators/sessions.py) -----------------------------
+
+
+@_q(
+    "events_sessionize",
+    # islands rewrite of session_window: break on inactivity >= 30 min
+    # (end-exclusive boundary, see operators/sessions.py), session_end =
+    # last event + gap; DECIMAL(18,4) keeps the value sum engine-exact
+    """WITH m AS (
+  SELECT user_id, ts, value,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS INT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM s GROUP BY user_id, sid""",
+)
+def sessionize_q(spark, sf_dir):
+    return SS.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
 
 
 # --- bucketed storage layout (sources/bucketed.py) ----------------------------

@@ -120,6 +120,33 @@ def ppl_buckets(docs: DataFrame, ref_mod: int = 10) -> DataFrame:
     )
 
 
+def length_quantiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution: exact interpolated
+    p25/p50/p75/p95 of n_chars plus count. Both engines implement the
+    standard linear-interpolation quantile ((1-g)*lo + g*hi on the
+    sorted values), and the inputs are integers exactly representable in
+    double, so the rounded outputs agree.
+
+    SCALE NOTE: exact per-group percentiles sort every group member —
+    fine for a bounded label set like language (the sort is
+    per-partition after one hash exchange), but the 100-TB path for
+    high-cardinality groups or global quantiles is
+    ``approx_percentile`` (t-digest: mergeable map-side sketches, one
+    tiny shuffle), traded here for oracle-exact output."""
+    pct = F.percentile("n_chars", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    agg = docs.groupBy("lang").agg(
+        F.count("*").cast("int").alias("n_docs"), pct.alias("q")
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        F.round(F.col("q")[0], 6).alias("p25"),
+        F.round(F.col("q")[1], 6).alias("p50"),
+        F.round(F.col("q")[2], 6).alias("p75"),
+        F.round(F.col("q")[3], 6).alias("p95"),
+    )
+
+
 def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k tf·idf terms per document; idf = ln(n_docs / df), weights
     ranked and emitted in nano units (see module doc) so the ordering

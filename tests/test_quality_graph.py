@@ -128,6 +128,24 @@ def test_ppl_buckets_plan_broadcasts_vocab(spark) -> None:
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+# --- length quantiles ---------------------------------------------------------
+
+
+def test_length_quantiles_interpolation(spark) -> None:
+    """4 values 10,20,30,40: p50 = 25 (interpolated), p25 = 17.5,
+    p75 = 32.5, p95 = 38.5 — the (1-g)*lo + g*hi definition shared with
+    the DuckDB oracle."""
+    from don_crawler_spark.operators.quality import length_quantiles
+
+    docs = spark.createDataFrame(
+        [(i, "en", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, lang string, n_chars long",
+    )
+    r = length_quantiles(docs).collect()[0]
+    assert (r["p25"], r["p50"], r["p75"], r["p95"]) == (17.5, 25.0, 32.5, 38.5)
+    assert r["n_docs"] == 4
+
+
 # --- tfidf --------------------------------------------------------------------
 
 
