@@ -1655,6 +1655,58 @@ def dedup_paragraphs_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_exact_substr",
+    # ExactSubstr duplicated-span removal (Lee et al. 2021): every word
+    # 5-gram occurrence repeated corpus-wide is cut except the globally
+    # first (doc_id, pos) occurrence; covered tokens are removed and the
+    # survivors reassembled. The engine shuffles xxhash64(gram) 8-byte
+    # keys; the oracle groups by the gram string itself — identical
+    # output absent a 2^-64 collision (none on shipped corpora). Paper
+    # threshold is 50 tokens; k=5 here because synthetic docs are short.
+    f"""WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+           i -> {{'pos': CAST(i - 1 AS INT),
+                 'g': t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4]}}),
+                recursive := true)
+  FROM toks WHERE len(t) >= 5),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY g) AS n_occ
+  FROM grams),
+dup AS (SELECT doc_id, pos FROM ranked WHERE n_occ >= 2 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, pos + j AS ti
+  FROM dup, unnest(range(0, 5)) AS r(j)),
+tokens AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t) + 1),
+           i -> {{'ti': CAST(i - 1 AS INT), 'tok': t[i]}}),
+                recursive := true)
+  FROM toks),
+kept AS (
+  SELECT tk.doc_id, tk.ti, tk.tok FROM tokens tk
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = tk.doc_id AND c.ti = tk.ti)),
+re AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY ti) AS text_cleaned
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks)
+SELECT tot.doc_id, n_tokens,
+       CAST(n_tokens - COALESCE(n_kept, 0) AS INT) AS n_removed,
+       COALESCE(text_cleaned, '') AS text_cleaned
+FROM tot LEFT JOIN re USING (doc_id)""",
+)
+def dedup_exact_substr_q(spark, sf_dir):
+    return HG.span_dedup(load(spark, sf_dir, "documents"), k=5)
+
+
+@_q(
     "decontaminate_ngrams",
     # GPT-3-style n-gram decontamination: benchmark = every 41st doc,
     # train = the rest; a train doc is contaminated iff it shares any

@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from don_crawler_spark.operators.dedup import shingles_col
+from don_crawler_spark.operators.dedup import shingles_col, tokens_col
 from don_crawler_spark.operators.pipeline import sample_uniform_col
 
 # PII patterns — Java-regex/RE2-identical constructs only (see module doc).
@@ -236,4 +236,93 @@ def temperature_sample(docs: DataFrame) -> DataFrame:
             F.round("sample_u", 6).alias("sample_u"),
             F.round("keep_rate", 6).alias("keep_rate"),
         )
+    )
+
+
+def span_dedup(docs: DataFrame, k: int = 50) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 §4.1): any word ``k``-gram occurrence whose gram
+    appears ≥2 times corpus-wide is a duplicate UNLESS it is the
+    globally-first occurrence in (doc_id, pos) order; every token covered
+    by a duplicate occurrence's window is removed and the survivors are
+    reassembled in order. Unlike dedup_exact / paragraph_dedup this cuts
+    repeated SPANS out of otherwise-unique documents — the case whole-doc
+    and paragraph dedup both miss (quoted passages, syndicated snippets,
+    licence boilerplate mid-page). The paper's threshold is 50 tokens;
+    the registered binding uses k=5 because the synthetic docs are short.
+
+    Returns one row per input doc: (doc_id, n_tokens, n_removed,
+    text_cleaned) — degrade-don't-drop: a fully-duplicated doc comes back
+    with n_removed = n_tokens and an empty string.
+
+    Plan shape (the scale-critical part): the reference implementation
+    is a single-machine suffix array — not shuffleable. Here the gram
+    relation is one row per token position, keyed by ``xxhash64(gram)``
+    so the dedup shuffle moves 8-byte keys instead of ~k-token strings
+    (a 2^-64 per-pair collision risk traded for a ~50x narrower
+    exchange; the oracle groups by the gram string itself and agrees on
+    every shipped corpus). The keeper per gram is a min(struct) AGGREGATE
+    with map-side partial merge — boilerplate spans duplicated 10^9
+    times collapse per map task before the exchange, the same skew
+    argument as paragraph_dedup. Coverage expansion is a bounded
+    explode(sequence) (k rows per duplicate), and reassembly groups by
+    doc_id bounded by document size. Four keyed exchanges total, none
+    carrying payload text wider than the surviving tokens.
+    """
+    toks = tokens_col()
+    docs_t = docs.select("doc_id", toks.alias("t"))
+    n = F.size("t")
+    gram = lambda i: F.xxhash64(
+        F.concat_ws(" ", *[F.element_at(F.col("t"), i + j) for j in range(k)])
+    )
+    grams = docs_t.filter(n >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), gram)
+        ).alias("pos", "gh"),
+    )
+    agg = (
+        grams.groupBy("gh")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("kp"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            F.col("gh").alias("d_gh"),
+            F.col("kp.doc_id").alias("k_doc_id"),
+            F.col("kp.pos").alias("k_pos"),
+        )
+    )
+    dups = grams.join(agg, grams["gh"] == agg["d_gh"]).filter(
+        ~(
+            (F.col("doc_id") == F.col("k_doc_id"))
+            & (F.col("pos") == F.col("k_pos"))
+        )
+    )
+    covered = dups.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("ti"),
+    ).distinct()
+    tokens = docs_t.select("doc_id", F.posexplode("t").alias("ti", "tok"))
+    kept = tokens.join(covered, ["doc_id", "ti"], "left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ti", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_cleaned"),
+    )
+    totals = docs_t.select("doc_id", n.cast("int").alias("n_tokens"))
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce("text_cleaned", F.lit("")).alias("text_cleaned"),
     )

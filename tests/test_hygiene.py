@@ -204,3 +204,67 @@ def test_temperature_sample_corpus_side_is_broadcast_joined(spark) -> None:
     plan = _plan(HG.temperature_sample(docs))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+# --- ExactSubstr span dedup ----------------------------------------------------
+
+
+def test_span_dedup_cuts_repeated_span_keeps_first(spark) -> None:
+    """A 5-gram repeated across docs is kept only at its globally-first
+    (doc_id, pos) occurrence; the later occurrence's covered tokens are
+    removed and the survivors reassembled in order."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),          # keeper of "a b c d e"
+            (2, "x y a b c d e z"),          # duplicate occurrence at pos 2
+            (4, "p q r"),                    # shorter than k: untouched
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.span_dedup(docs, k=5).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["text_cleaned"] == "a b c d e f g h"
+    assert rows[2]["n_tokens"] == 8
+    assert rows[2]["n_removed"] == 5
+    assert rows[2]["text_cleaned"] == "x y z"
+    assert rows[4]["n_removed"] == 0
+    assert rows[4]["text_cleaned"] == "p q r"
+
+
+def test_span_dedup_fully_duplicated_doc_degrades_to_empty(spark) -> None:
+    """Degrade-don't-drop: a verbatim copy of an earlier doc loses every
+    token but still yields a row (empty text, n_removed = n_tokens)."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (3, "a b c d e f g h")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.span_dedup(docs, k=5).collect()}
+    assert rows[1]["n_removed"] == 0
+    assert rows[3]["n_removed"] == 8
+    assert rows[3]["text_cleaned"] == ""
+
+
+def test_span_dedup_self_repetition_within_one_doc(spark) -> None:
+    """In-doc repetition: the first occurrence of the repeated span is
+    the keeper, the second is cut — overlapping boundary grams occur
+    only once each and must not widen the cut."""
+    docs = spark.createDataFrame(
+        [(7, "m n o p q m n o p q")], "doc_id long, text string"
+    )
+    r = HG.span_dedup(docs, k=5).collect()[0]
+    assert r["n_tokens"] == 10
+    assert r["n_removed"] == 5
+    assert r["text_cleaned"] == "m n o p q"
+
+
+def test_span_dedup_shuffle_key_is_hash_and_agg_is_partial(spark) -> None:
+    """Scale shape: the gram-dedup exchange is keyed on xxhash64(gram)
+    (8 bytes, not the k-token string) and the keeper is a min(struct)
+    partial-mergeable aggregate, not a per-gram window sort."""
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id long, text string"
+    )
+    plan = _plan(HG.span_dedup(docs, k=5))
+    assert "xxhash64" in plan
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
