@@ -1707,6 +1707,139 @@ def dedup_exact_substr_q(spark, sf_dir):
 
 
 @_q(
+    "filter_c4_lines",
+    # C4 §2.2 line filter, re-tuned to the synthetic corpus so every
+    # rule discriminates (measured at sf0.01: word-count cuts 182/1358
+    # lines, the terminal regex 1040, the banned line-word 575; the page
+    # marker drops 25/500 pages, min_lines 259): "lines" split on the
+    # literal ' table ', >=4 words, ending in [aeiouwpn], not containing
+    # 'customer'; page dropped if <1 line survives or the raw text
+    # contains 'big slow'.
+    """WITH L AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ' table '), l -> trim(l)) AS ls
+  FROM documents),
+K AS (
+  SELECT doc_id, text, ls,
+         list_filter(ls, l ->
+           len(list_filter(string_split(l, ' '), t -> t <> '')) >= 4
+           AND regexp_matches(l, '[aeiouwpn]$')
+           AND NOT contains(lower(l), 'customer')) AS kept
+  FROM L)
+SELECT doc_id,
+       CAST(len(ls) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_kept,
+       (len(kept) >= 1 AND NOT contains(lower(text), 'big slow'))
+         AS page_kept,
+       CASE WHEN len(kept) >= 1 AND NOT contains(lower(text), 'big slow')
+            THEN array_to_string(kept, ' table ') ELSE '' END
+         AS text_filtered
+FROM K""",
+)
+def filter_c4_lines_q(spark, sf_dir):
+    return HG.c4_line_filter(
+        load(spark, sf_dir, "documents"),
+        sep=" table ",
+        min_words=4,
+        terminal_re="[aeiouwpn]$",
+        banned_line="customer",
+        banned_page=("big slow",),
+        min_lines=1,
+    )
+
+
+@_q(
+    "quality_linear_score",
+    # fastText-shape hashed linear scorer: token weight = first 32 bits
+    # of md5(token) centered to [-2^31, 2^31), BIGINT sum (order-free),
+    # one final division to [-1, 1]; thresholds on the rounded score
+    """WITH toks AS (SELECT doc_id, {t} AS t FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+         list_sum(list_transform(t, tok ->
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+           - 2147483648)) AS sw
+  FROM toks),
+sc AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN n_tokens = 0 THEN 0.0
+              ELSE ROUND(sw / (n_tokens * 2147483648.0), 6) END AS score
+  FROM s)
+SELECT doc_id, n_tokens, score,
+       CASE WHEN n_tokens = 0 THEN 'drop'
+            WHEN score >= 0.02 THEN 'keep'
+            WHEN score < -0.02 THEN 'drop'
+            ELSE 'review' END AS label
+FROM sc""".replace("{t}", SQL_TOKENS),
+)
+def quality_linear_score_q(spark, sf_dir):
+    return QL.linear_quality_score(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "quality_gopher_rules",
+    # Gopher Table-A1 document rules, re-tuned so every rule
+    # discriminates on the synthetic corpus (per-rule pass counts at
+    # sf0.01: word-count 331/500, mean-len 434, symbols 332, bullets
+    # 458, ellipsis 427, alpha 276, stop-words 420; conjunction 81).
+    # Every metric is a single int/int division rounded to 6 places
+    # BEFORE its rule compares, so thresholds agree across engines.
+    f"""WITH w AS (
+  SELECT doc_id, text, {SQL_TOKENS} AS ws,
+         list_transform(string_split(text, ' table '), l -> trim(l)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    ROUND(COALESCE(list_sum(list_transform(ws, t -> len(t))), 0)
+          / greatest(len(ws), 1), 6) AS mean_word_len,
+    ROUND(len(regexp_extract_all(text, 'q'))
+          * 1.0 / greatest(len(ws), 1), 6) AS symbol_ratio,
+    ROUND(len(list_filter(ls, l -> l LIKE 'join%'))
+          * 1.0 / greatest(len(ls), 1), 6) AS bullet_frac,
+    ROUND(len(list_filter(ls, l -> l LIKE '%w'))
+          * 1.0 / greatest(len(ls), 1), 6) AS ellipsis_frac,
+    ROUND(len(list_filter(ws, t -> regexp_matches(t, '[aeiou].*[aeiou]')))
+          * 1.0 / greatest(len(ws), 1), 6) AS alpha_frac,
+    CAST(len(list_filter(['the', 'a', 'data'],
+                         s -> list_contains(ws, s))) AS INT) AS n_stop_hits
+  FROM w),
+r AS (
+  SELECT *,
+    n_words BETWEEN 40 AND 100000 AS r_word_count,
+    mean_word_len BETWEEN 4.2 AND 4.8 AS r_mean_len,
+    symbol_ratio <= 0.04 AS r_symbols,
+    bullet_frac <= 0.2 AS r_bullets,
+    ellipsis_frac <= 0.3 AS r_ellipsis,
+    alpha_frac >= 0.5 AS r_alpha,
+    n_stop_hits >= 2 AS r_stop_words
+  FROM m)
+SELECT *, (r_word_count AND r_mean_len AND r_symbols AND r_bullets
+           AND r_ellipsis AND r_alpha AND r_stop_words) AS passes
+FROM r""",
+)
+def quality_gopher_rules_q(spark, sf_dir):
+    return QL.gopher_rules(
+        load(spark, sf_dir, "documents"),
+        sep=" table ",
+        min_words=40,
+        max_words=100_000,
+        min_mean_len=4.2,
+        max_mean_len=4.8,
+        symbol_re="q",
+        max_symbol_ratio=0.04,
+        bullet_prefix="join",
+        max_bullet_frac=0.2,
+        ellipsis_suffix="w",
+        max_ellipsis_frac=0.3,
+        alpha_re="[aeiou].*[aeiou]",
+        min_alpha_frac=0.5,
+        stop_words=("the", "a", "data"),
+        min_stop_hits=2,
+    )
+
+
+@_q(
     "decontaminate_ngrams",
     # GPT-3-style n-gram decontamination: benchmark = every 41st doc,
     # train = the rest; a train doc is contaminated iff it shares any
@@ -1844,13 +1977,15 @@ def length_quantiles_q(spark, sf_dir):
 
 @_q(
     "events_sessionize",
-    # islands rewrite of session_window: break on inactivity >= 30 min
-    # (end-exclusive boundary, see operators/sessions.py), session_end =
-    # last event + gap; DECIMAL(18,4) keeps the value sum engine-exact
+    # islands rewrite of session_window: break on inactivity > 30 min
+    # (boundary-inclusive merge — an event at exactly prev + gap joins
+    # the session, Spark's native session_window behavior; see
+    # operators/sessions.py), session_end = last event + gap;
+    # DECIMAL(18,4) keeps the value sum engine-exact
     """WITH m AS (
   SELECT user_id, ts, value,
     CASE WHEN LAG(ts) OVER w IS NULL
-           OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+           OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
          THEN 1 ELSE 0 END AS brk
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

@@ -59,6 +59,10 @@ HEADLINE_QUERIES = [
     "doc_pack_sequences",
     "text_pii_scrub",
     "dedup_paragraphs",
+    "dedup_exact_substr",
+    "filter_c4_lines",
+    "quality_linear_score",
+    "quality_gopher_rules",
     "decontaminate_ngrams",
     "sample_temperature",
     "quality_ppl_buckets",

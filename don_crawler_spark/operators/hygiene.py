@@ -35,8 +35,13 @@ standard webtext-curation steps:
   combined, |langs| keys) broadcast back onto the corpus: the corpus
   itself never shuffles.
 
-All four have exact DuckDB oracles in __spark_entry__.py; none uses a
-Python UDF.
+Later additions to the family (same exact-oracle, no-Python-UDF rules):
+**ExactSubstr span dedup** (Lee et al. 2021 — see ``span_dedup``) and the
+**C4 line-level filter** (Raffel et al. 2020 §2.2 — see
+``c4_line_filter``).
+
+All have exact DuckDB oracles in __spark_entry__.py; none uses a Python
+UDF.
 """
 
 from __future__ import annotations
@@ -325,4 +330,65 @@ def span_dedup(docs: DataFrame, k: int = 50) -> DataFrame:
         .cast("int")
         .alias("n_removed"),
         F.coalesce("text_cleaned", F.lit("")).alias("text_cleaned"),
+    )
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_words: int = 5,
+    terminal_re: str = r'[.!?"]$',
+    banned_line: str = "javascript",
+    banned_page: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level filtering (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    §2.2): keep only lines that (a) end in terminal punctuation, (b) have
+    at least ``min_words`` words, and (c) don't mention ``banned_line``
+    (C4 uses "javascript" — cookie/JS-warning boilerplate); then drop the
+    whole page if fewer than ``min_lines`` lines survive or the raw page
+    contains any ``banned_page`` marker (C4 uses "lorem ipsum" and "{").
+
+    All rules are parameters because the paper's constants are tuned to
+    English web prose; the registered binding re-tunes them to the
+    synthetic corpus so every rule stays discriminating (see
+    __spark_entry__.py c4_line_filter). ``sep`` and ``banned_*`` are
+    LITERALS; ``terminal_re`` is a regex restricted to Java/RE2-identical
+    constructs (module doc).
+
+    Returns one row per input doc: (doc_id, n_lines, n_kept, page_kept,
+    text_filtered) — degrade-don't-drop: a dropped page keeps its row
+    with page_kept = false and an empty string.
+
+    Plan shape: one map-side projection over the scan — zero exchanges,
+    zero joins. Line splitting, the per-line word count, and the regex
+    test all run inside array HOFs on the already-loaded text; at 100 TB
+    this is scan-bound, embarrassingly parallel, and pairs with
+    predicate pushdown (the projection only reads doc_id + text).
+    """
+    import re as _re
+
+    lines = F.transform(
+        F.split(F.col("text"), _re.escape(sep)), lambda l: F.trim(l)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: (
+            F.size(F.filter(F.split(l, " "), lambda t: t != "")) >= min_words
+        )
+        & l.rlike(terminal_re)
+        & ~F.lower(l).contains(banned_line.lower()),
+    )
+    page_ok = F.size(kept) >= min_lines
+    for marker in banned_page:
+        page_ok = page_ok & ~F.lower(F.col("text")).contains(marker.lower())
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        page_ok.alias("page_kept"),
+        F.when(page_ok, F.array_join(kept, sep))
+        .otherwise(F.lit(""))
+        .alias("text_filtered"),
     )

@@ -182,3 +182,177 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .filter(F.col("rank") <= k)
     )
+
+
+def linear_quality_score(
+    docs: DataFrame,
+    keep_at: float = 0.02,
+    drop_at: float = -0.02,
+) -> DataFrame:
+    """fastText-style hashed-feature linear classifier INFERENCE
+    (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification" — the shape CCNet/RedPajama use for their quality
+    classifiers): score(doc) = mean over tokens of w[h(token)], then
+    threshold into keep / review / drop. Real pipelines load a trained
+    weight table; here the weight for a token is a DETERMINISTIC
+    function of the token itself — the first 32 bits of md5(token),
+    centered to [-2^31, 2^31) — which keeps the whole computation
+    closed over the input table and byte-replayable by the DuckDB
+    oracle while exercising exactly the production plan shape (hash
+    feature -> weight lookup -> mean -> threshold).
+
+    EXACTNESS: per-token weights are integers and the per-doc sum is a
+    BIGINT fold — associative, order-free, engine-exact (the module's
+    fixed-point rule). The single final division to [-1, 1] happens
+    once per doc on exact integer inputs, so the ROUND(.., 6) agrees
+    across engines. Thresholds compare the rounded score.
+
+    Returns (doc_id, n_tokens, score, label); empty docs score 0.0 and
+    label 'drop' (degrade-don't-drop).
+
+    SCALE: one map-side projection — the token hash, weight lookup and
+    fold all run inside array HOFs over the already-loaded text; no
+    exchange, no join, no Python. A real weight table would instead be
+    a broadcast map lookup (vocabulary-sized, like ppl_buckets' freq
+    relation); the plan shape is otherwise identical.
+    """
+    toks = tokens_col()
+    w = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast(
+        "long"
+    ) - F.lit(2147483648)
+    sw = F.aggregate(
+        F.col("t"), F.lit(0).cast("long"), lambda acc, t: acc + w(t)
+    )
+    scored = docs.select(
+        "doc_id", F.size(toks).cast("int").alias("n_tokens"), toks.alias("t")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(sw / (F.col("n_tokens") * F.lit(2147483648.0)), 6)
+        )
+        .alias("score"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "score",
+        F.when(F.col("n_tokens") == 0, F.lit("drop"))
+        .when(F.col("score") >= keep_at, F.lit("keep"))
+        .when(F.col("score") < drop_at, F.lit("drop"))
+        .otherwise(F.lit("review"))
+        .alias("label"),
+    )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    sep: str = "\n",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    symbol_re: str = "[#…]",
+    max_symbol_ratio: float = 0.1,
+    bullet_prefix: str = "•",
+    max_bullet_frac: float = 0.9,
+    ellipsis_suffix: str = "...",
+    max_ellipsis_frac: float = 0.3,
+    alpha_re: str = "[A-Za-z]",
+    min_alpha_frac: float = 0.8,
+    stop_words: tuple[str, ...] = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    Table A1): a document passes iff (1) its word count is in
+    [min_words, max_words], (2) mean word length is in [min_mean_len,
+    max_mean_len], (3) the symbol-to-word ratio (matches of
+    ``symbol_re`` per word — the paper counts '#' and ellipsis) is at
+    most ``max_symbol_ratio``, (4) at most ``max_bullet_frac`` of lines
+    start with a bullet, (5) at most ``max_ellipsis_frac`` of lines end
+    with an ellipsis, (6) at least ``min_alpha_frac`` of words contain
+    an alphabetic character, and (7) at least ``min_stop_hits`` DISTINCT
+    designated stop words occur. Every constant is a parameter — the
+    paper's values are tuned to English web prose; the registered
+    binding re-tunes them to the synthetic corpus so each rule stays
+    discriminating (see __spark_entry__.py quality_gopher_rules).
+
+    Returns one row per doc: the raw metrics (n_words, mean_word_len,
+    symbol_ratio, bullet_frac, ellipsis_frac, alpha_frac, n_stop_hits),
+    the seven per-rule booleans (r_word_count .. r_stop_words) and the
+    conjunction ``passes`` — degrade-don't-drop: failing docs keep their
+    row with the reasons visible.
+
+    EXACTNESS: every metric is a ratio of two integers computed once
+    per doc (single IEEE division on exact inputs — both engines get the
+    identical double, so threshold comparisons agree bit-for-bit);
+    mean_word_len additionally rounds to 6 places BEFORE its rule
+    compares, mirroring the oracle. No distributed float sum anywhere.
+
+    SCALE: one map-side projection, zero exchanges/joins/Python — the
+    word/line arrays and all seven rules evaluate inside array HOFs over
+    the already-loaded text; scan-bound at 100 TB like pii_scrub.
+    """
+    import re as _re
+
+    words = tokens_col()
+    lines = F.transform(
+        F.split(F.col("text"), _re.escape(sep)), lambda l: F.trim(l)
+    )
+    nw = F.size(words)
+    nl = F.size(lines)
+    d = F.greatest(nw, F.lit(1)).cast("double")
+    dl = F.greatest(nl, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / d,
+        6,
+    )
+    sym = F.size(F.regexp_extract_all(F.col("text"), F.lit(symbol_re), 0)) / d
+    bul = F.size(F.filter(lines, lambda l: l.startswith(bullet_prefix))) / dl
+    ell = F.size(F.filter(lines, lambda l: l.endswith(ellipsis_suffix))) / dl
+    alpha = F.size(F.filter(words, lambda t: t.rlike(alpha_re))) / d
+    stops = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in stop_words]),
+            lambda s: F.array_contains(words, s),
+        )
+    )
+    m = docs.select(
+        "doc_id",
+        nw.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        F.round(sym, 6).alias("symbol_ratio"),
+        F.round(bul, 6).alias("bullet_frac"),
+        F.round(ell, 6).alias("ellipsis_frac"),
+        F.round(alpha, 6).alias("alpha_frac"),
+        stops.cast("int").alias("n_stop_hits"),
+    )
+    r = m.select(
+        "*",
+        F.col("n_words").between(min_words, max_words).alias("r_word_count"),
+        F.col("mean_word_len")
+        .between(min_mean_len, max_mean_len)
+        .alias("r_mean_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("r_symbols"),
+        (F.col("bullet_frac") <= max_bullet_frac).alias("r_bullets"),
+        (F.col("ellipsis_frac") <= max_ellipsis_frac).alias("r_ellipsis"),
+        (F.col("alpha_frac") >= min_alpha_frac).alias("r_alpha"),
+        (F.col("n_stop_hits") >= min_stop_hits).alias("r_stop_words"),
+    )
+    passes = (
+        F.col("r_word_count")
+        & F.col("r_mean_len")
+        & F.col("r_symbols")
+        & F.col("r_bullets")
+        & F.col("r_ellipsis")
+        & F.col("r_alpha")
+        & F.col("r_stop_words")
+    )
+    return r.select("*", passes.alias("passes"))

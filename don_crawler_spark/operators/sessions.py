@@ -17,10 +17,12 @@ lag/flag/cumsum "islands" rewrite, because session_window:
   streaming behavior too.
 
 BOUNDARY SEMANTICS (oracle-pinned in tests/test_sessions.py): a session
-window spans [first_event, last_event + gap); an event at exactly
-``prev + gap`` is OUTSIDE (end-exclusive) and starts a new session. The
-DuckDB oracle in __spark_entry__.py therefore breaks on
-``ts - lag(ts) >= gap``, and ``session_end = max(ts) + gap``.
+window spans [first_event, last_event + gap], MERGE-INCLUSIVE at the
+boundary — an event at exactly ``prev + gap`` JOINS the session. This
+is Spark's native ``session_window`` behavior (windows merge whenever
+the next event's start is <= the open window's end), verified by the
+boundary test; the DuckDB oracle in __spark_entry__.py therefore breaks
+on ``ts - lag(ts) > gap``, and ``session_end = max(ts) + gap``.
 
 The per-session value sum goes through DECIMAL(18,4) (the repo-wide
 convention) so the distributed sum is exact and engine-identical.

@@ -268,3 +268,63 @@ def test_span_dedup_shuffle_key_is_hash_and_agg_is_partial(spark) -> None:
     assert "xxhash64" in plan
     assert "Window" not in plan
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+# --- C4 line filter -------------------------------------------------------------
+
+
+def test_c4_line_filter_applies_all_three_line_rules(spark) -> None:
+    """Paper defaults: a line survives only if it ends in terminal
+    punctuation AND has >=5 words AND doesn't mention javascript."""
+    text = "\n".join(
+        [
+            "this line has five good words.",     # kept
+            "too short a line.",                   # <5 words
+            "this line has no terminal punctuation at all",  # no [.!?"]
+            "please enable JavaScript to view the comments.",  # banned word
+            "another perfectly fine sentence with many words!",  # kept
+            'a quoted ending also counts as terminal he said"',  # kept
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = HG.c4_line_filter(docs).collect()[0]
+    assert r["n_lines"] == 6
+    assert r["n_kept"] == 3
+    assert r["page_kept"] is True
+    assert r["text_filtered"] == (
+        "this line has five good words.\n"
+        "another perfectly fine sentence with many words!\n"
+        'a quoted ending also counts as terminal he said"'
+    )
+
+
+def test_c4_line_filter_page_level_drops(spark) -> None:
+    """Page rules: <min_lines survivors, a 'lorem ipsum' marker, or a
+    curly bracket each drop the whole page (row kept, text emptied)."""
+    good = "\n".join(["a full sentence with enough words here."] * 3)
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                # kept
+            (2, "one good sentence with enough words."),  # < 3 kept lines
+            (3, good + "\nLorem Ipsum dolor sit."),   # marker, any case
+            (4, good + "\nvar f = function() {"),     # curly bracket
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.c4_line_filter(docs).collect()}
+    assert rows[1]["page_kept"] is True and rows[1]["n_kept"] == 3
+    assert rows[2]["page_kept"] is False and rows[2]["text_filtered"] == ""
+    assert rows[2]["n_kept"] == 1  # line counts still reported
+    assert rows[3]["page_kept"] is False
+    assert rows[4]["page_kept"] is False
+
+
+def test_c4_line_filter_is_exchange_free(spark) -> None:
+    """One map-side projection: no exchange, no join, no Python UDF."""
+    docs = spark.createDataFrame(
+        [(1, "a sentence with five whole words.")], "doc_id long, text string"
+    )
+    plan = _plan(HG.c4_line_filter(docs))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

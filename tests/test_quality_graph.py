@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from don_crawler_spark.operators.graph import NANO, pagerank, synth_host_edges
@@ -173,3 +174,128 @@ def test_tfidf_respects_k(spark) -> None:
     rows = [(1, "en", "a b c d e f g h")]
     out = tfidf_topk(_docs(spark, rows), k=3).collect()
     assert len(out) == 3 and sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+# --- hashed linear quality scorer ---------------------------------------------
+
+
+def test_linear_score_matches_md5_replay(spark) -> None:
+    """score = ROUND(sum(w)/n/2^31, 6) with w = first 32 md5 bits
+    centered; replayed from scratch with hashlib."""
+    import hashlib
+
+    from don_crawler_spark.operators.quality import linear_quality_score
+
+    rows = [(1, "en", "alpha beta gamma"), (2, "en", "alpha"), (3, "en", "")]
+    out = {
+        r["doc_id"]: r
+        for r in linear_quality_score(_docs(spark, rows)).collect()
+    }
+
+    def w(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) - 2**31
+
+    for doc_id, _, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        got = out[doc_id]
+        assert got["n_tokens"] == len(toks)
+        if toks:
+            want = round(sum(w(t) for t in toks) / (len(toks) * 2.0**31), 6)
+            assert got["score"] == want
+        else:
+            assert got["score"] == 0.0
+            assert got["label"] == "drop"
+
+
+def test_linear_score_thresholds_label_rounded_score(spark) -> None:
+    from don_crawler_spark.operators.quality import linear_quality_score
+
+    rows = [(i, "en", f"tok{i}") for i in range(40)]
+    out = linear_quality_score(
+        _docs(spark, rows), keep_at=0.5, drop_at=-0.5
+    ).collect()
+    for r in out:
+        if r["score"] >= 0.5:
+            assert r["label"] == "keep"
+        elif r["score"] < -0.5:
+            assert r["label"] == "drop"
+        else:
+            assert r["label"] == "review"
+    # single-token docs span the weight range; all three labels occur
+    assert {r["label"] for r in out} == {"keep", "review", "drop"}
+
+
+def test_linear_score_is_exchange_free(spark) -> None:
+    from don_crawler_spark.operators.quality import linear_quality_score
+
+    plan = linear_quality_score(
+        _docs(spark, [(1, "en", "a b c")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+# --- Gopher document rules ------------------------------------------------------
+
+
+def test_gopher_rules_paper_defaults_each_rule(spark) -> None:
+    """Crafted docs, paper-default constants: each doc trips exactly the
+    rule it is built to trip."""
+    from don_crawler_spark.operators.quality import gopher_rules
+
+    fifty = " ".join(
+        ["the quick brown fox jumps over that lazy dog daily"] * 5
+    )  # 50 words, has 'the'+'that', mean len in [3,10]
+    rows = [
+        (1, "en", fifty),                               # passes everything
+        (2, "en", "too few words here"),                # word count
+        (3, "en", " ".join(["aa"] * 50) + " the that"), # mean word len < 3
+        (4, "en", fifty + " " + " ".join(["#"] * 10)),  # symbol ratio > 0.1
+        (5, "en", "\n".join(["• " + fifty] * 10)),      # all lines bulleted
+        (6, "en", "\n".join([fifty + "..."] * 2 + [fifty])),  # 2/3 ellipsis
+        (7, "en", fifty.replace("the", "111").replace("that", "222")),  # no stops
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(_docs(spark, rows)).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["r_word_count"] is False
+    assert out[3]["r_mean_len"] is False and out[3]["mean_word_len"] < 3
+    assert out[4]["r_symbols"] is False
+    assert out[5]["r_bullets"] is False and out[5]["bullet_frac"] == 1.0
+    assert out[6]["r_ellipsis"] is False
+    assert out[6]["ellipsis_frac"] == pytest.approx(round(2 / 3, 6))
+    assert out[7]["r_stop_words"] is False and out[7]["n_stop_hits"] < 2
+    for d in (2, 3, 4, 5, 6, 7):
+        assert out[d]["passes"] is False
+
+
+def test_gopher_rules_stop_hits_are_distinct(spark) -> None:
+    """50x 'the' is ONE distinct stop word, not 50 hits."""
+    from don_crawler_spark.operators.quality import gopher_rules
+
+    docs = _docs(spark, [(1, "en", " ".join(["the"] * 50))])
+    r = gopher_rules(docs).collect()[0]
+    assert r["n_stop_hits"] == 1
+    assert r["r_stop_words"] is False
+
+
+def test_gopher_rules_empty_doc_degrades(spark) -> None:
+    from don_crawler_spark.operators.quality import gopher_rules
+
+    r = gopher_rules(_docs(spark, [(1, "en", "")])).collect()[0]
+    assert r["n_words"] == 0
+    assert r["passes"] is False  # word-count rule fails, row survives
+
+
+def test_gopher_rules_is_exchange_free(spark) -> None:
+    from don_crawler_spark.operators.quality import gopher_rules
+
+    plan = gopher_rules(
+        _docs(spark, [(1, "en", "a b")])
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Python" not in plan

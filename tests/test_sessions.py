@@ -20,13 +20,14 @@ def _ev(spark, rows):
     )
 
 
-def test_gap_boundary_is_end_exclusive(spark) -> None:
-    """An event at exactly prev + gap starts a NEW session — this is the
-    semantics the DuckDB oracle mirrors with `>= INTERVAL 30 MINUTE`."""
+def test_gap_boundary_merges_inclusively(spark) -> None:
+    """An event at exactly prev + gap JOINS the session (Spark's native
+    session_window merges when next.start <= open.end) — the DuckDB
+    oracle mirrors this by breaking only on `> INTERVAL 30 MINUTE`."""
     out = sessionize(_ev(spark, [(1, 0, 1.0), (1, 30, 1.0)]), 30).collect()
-    assert len(out) == 2
-    out = sessionize(_ev(spark, [(1, 0, 1.0), (1, 29, 1.0)]), 30).collect()
     assert len(out) == 1
+    out = sessionize(_ev(spark, [(1, 0, 1.0), (1, 31, 1.0)]), 30).collect()
+    assert len(out) == 2
 
 
 def test_sessions_merge_chained_events(spark) -> None:
