@@ -159,6 +159,10 @@ def main() -> None:
     # per-process write budget as much as the engine); reruns chasing
     # clean PRIMARY pairs can dial it down independently
     ap.add_argument("--thread-repeats", type=int, default=None)
+    # rerun a subset of scaling sections (comma list of
+    # stage_executors,stage_threads,crawl_executors) — chasing a clean
+    # pair in a quiet host window shouldn't have to pay for all three
+    ap.add_argument("--sections", type=str, default=None)
     ap.add_argument("--executors", type=int, default=None)
     args = ap.parse_args()
 
@@ -296,19 +300,28 @@ def main() -> None:
         exec_levels = [(2, 1), (2, 4)]
         # secondary: the thread-mode pair (single shared-cap JVM)
         thread_levels = [(4, None), (16, None)]
-        payload = {
-            "sf": sf,
-            "n_pages": pages,
-            "stage_executors": paired("--stage-only", exec_levels),
-            "stage_threads": paired(
+        want = (
+            set(args.sections.split(","))
+            if args.sections
+            else {"stage_executors", "stage_threads", "crawl_executors"}
+        )
+        payload = {"sf": sf, "n_pages": pages}
+        if "stage_executors" in want:
+            payload["stage_executors"] = paired("--stage-only", exec_levels)
+        if "stage_threads" in want:
+            payload["stage_threads"] = paired(
                 "--stage-only", thread_levels, reps=args.thread_repeats
-            ),
-            "crawl_executors": paired("--crawl-only", exec_levels),
-        }
-        payload["stage_scaling_efficiency"] = payload["stage_executors"]["eff"]
-        payload["crawl_scaling_efficiency"] = payload["crawl_executors"]["eff"]
+            )
+        if "crawl_executors" in want:
+            payload["crawl_executors"] = paired("--crawl-only", exec_levels)
+        if "stage_executors" in payload:
+            payload["stage_scaling_efficiency"] = payload["stage_executors"]["eff"]
+        if "crawl_executors" in payload:
+            payload["crawl_scaling_efficiency"] = payload["crawl_executors"]["eff"]
         print(json.dumps(payload))
-        if args.write_md:
+        if args.write_md and not args.sections:
+            # partial payloads feed the pooled table via their archived
+            # JSON; only a full run rewrites BASELINE.md's sections
             _write_md(payload)
         return
 
