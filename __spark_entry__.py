@@ -1777,6 +1777,88 @@ def quality_linear_score_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_incremental",
+    # nightly-append classification of a synthesized NEW batch against
+    # the documents corpus: exact copies (doc_id%7==0, ids +1e6),
+    # near copies (doc_id%5==1, ids +2e6, three tokens appended — most
+    # band signatures survive the append), and synthetic novels
+    # (doc_id%5==2, ids +3e6, vocabulary disjoint from the corpus)
+    f"""WITH newb AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' zz1 zz2 zz3'
+  FROM documents WHERE doc_id % 5 = 1
+  UNION ALL
+  SELECT doc_id + 3000000,
+         'nv' || CAST(doc_id AS VARCHAR) || ' xq' || CAST(doc_id AS VARCHAR)
+              || ' zk' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 5 = 2),
+cfp AS (SELECT md5(text) AS fp, MIN(doc_id) AS exact_match
+        FROM documents GROUP BY 1),
+nsh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM newb),
+csh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM documents),
+nsig AS (
+  SELECT doc_id, b.band,
+         MIN(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM nsh, (SELECT unnest(generate_series(0, 7)) AS band) b
+  GROUP BY doc_id, b.band),
+csig0 AS (
+  SELECT doc_id, b.band,
+         MIN(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM csh, (SELECT unnest(generate_series(0, 7)) AS band) b
+  GROUP BY doc_id, b.band),
+csig AS (SELECT band, sig, MIN(doc_id) AS c_doc FROM csig0 GROUP BY band, sig),
+ex AS (
+  SELECT n.doc_id, c.exact_match
+  FROM (SELECT doc_id, md5(text) AS fp FROM newb) n
+  JOIN cfp c USING (fp)),
+near AS (
+  SELECT n.doc_id, MIN(c.c_doc) AS near_match
+  FROM nsig n JOIN csig c ON n.band = c.band AND n.sig = c.sig
+  GROUP BY n.doc_id)
+SELECT nb.doc_id,
+       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_match IS NOT NULL THEN 'near_dup'
+            ELSE 'novel' END AS status,
+       COALESCE(e.exact_match, nr.near_match) AS match_id
+FROM newb nb
+LEFT JOIN ex e ON e.doc_id = nb.doc_id
+LEFT JOIN near nr ON nr.doc_id = nb.doc_id""",
+)
+def dedup_incremental_q(spark, sf_dir):
+    corpus = load(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    sid = did.cast("string")
+    new_batch = (
+        corpus.filter(did % 7 == 0)
+        .select((did + 1_000_000).alias("doc_id"), "text")
+        .unionByName(
+            corpus.filter(did % 5 == 1).select(
+                (did + 2_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz1 zz2 zz3")).alias("text"),
+            )
+        )
+        .unionByName(
+            corpus.filter(did % 5 == 2).select(
+                (did + 3_000_000).alias("doc_id"),
+                F.concat(
+                    F.lit("nv"), sid, F.lit(" xq"), sid, F.lit(" zk"), sid
+                ).alias("text"),
+            )
+        )
+    )
+    return DD.dedup_incremental(new_batch, corpus, n=3, bands=8)
+
+
+@_q(
     "quality_gopher_rules",
     # Gopher Table-A1 document rules, re-tuned so every rule
     # discriminates on the synthetic corpus (per-rule pass counts at

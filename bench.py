@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_incremental",
     "dedup_embedding_cosine",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
@@ -163,6 +164,11 @@ def main() -> None:
     # stage_executors,stage_threads,crawl_executors) — chasing a clean
     # pair in a quiet host window shouldn't have to pay for all three
     ap.add_argument("--sections", type=str, default=None)
+    # cores per executor for the primary N-vs-4N pair (default 2).
+    # 1-core executors put only 4 busy cores on the host at 4N — the
+    # closest this sandbox gets to four independent machines (less
+    # shared-DRAM contention), at the cost of longer walls
+    ap.add_argument("--exec-cores", type=int, default=2)
     ap.add_argument("--executors", type=int, default=None)
     args = ap.parse_args()
 
@@ -297,7 +303,8 @@ def main() -> None:
         # host's unthrottled capacity (with Python workers the process
         # count doubles), or the measurement reads the hypervisor's
         # ceiling instead of the engine's scaling.
-        exec_levels = [(2, 1), (2, 4)]
+        ec = args.exec_cores
+        exec_levels = [(ec, 1), (ec, 4)]
         # secondary: the thread-mode pair (single shared-cap JVM)
         thread_levels = [(4, None), (16, None)]
         want = (

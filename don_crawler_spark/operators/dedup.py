@@ -527,3 +527,81 @@ def minhash_dedup_clusters(
         persist_shingles=persist_shingles,
     )
     return connected_components(pairs, max_iters=max_iters)
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: classify each NEW document
+    against an EXISTING corpus — the nightly-append shape (CCNet dedups
+    each Common-Crawl snapshot against prior snapshots; RefinedWeb /
+    Dolma do the same across dumps). Statuses:
+
+    - ``exact_dup``: byte-identical text exists in the corpus
+      (md5 fingerprint match; match_id = smallest such corpus doc_id);
+    - ``near_dup``: not exact, but some MinHash band signature (same
+      construction as minhash_lsh_pairs — min over shingles of
+      md5(band ':' shingle)) collides with a corpus doc's signature
+      (match_id = smallest colliding corpus doc_id). Band collision is
+      the CANDIDATE criterion; callers needing a verified Jaccard
+      re-run minhash_lsh_pairs on the matched pairs — kept separate
+      here so the whole classification stays oracle-exact in SQL;
+    - ``novel``: neither. Every new doc returns exactly one row
+      (degrade-don't-drop).
+
+    Plan shape / scale: the corpus side reduces to two small keyed
+    relations — (fingerprint -> min doc_id) and
+    ((band, sig) -> min doc_id) — each one partial-aggregated shuffle
+    of 8-to-16-byte keys; in production both are PRECOMPUTED once per
+    snapshot and stored (signature tables are the standard artifact),
+    making the nightly increment two hash joins keyed by the NEW batch
+    (tiny next to the corpus) with no corpus rescan. No text crosses
+    either join: fingerprints and band signatures only.
+    """
+    fp = F.md5("text").alias("fp")
+    cfp = (
+        corpus.select("doc_id", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("exact_match"))
+    )
+    exact = new_docs.select("doc_id", fp).join(cfp, "fp", "left")
+
+    def band_sigs(df: DataFrame) -> DataFrame:
+        sh = df.select("doc_id", F.explode(shingles_col(n)).alias("shingle"))
+        band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+        return (
+            sh.select("doc_id", "shingle", band)
+            .select(
+                "doc_id",
+                "band",
+                F.md5(
+                    F.concat_ws(":", F.col("band").cast("string"), "shingle")
+                ).alias("h"),
+            )
+            .groupBy("doc_id", "band")
+            .agg(F.min("h").alias("sig"))
+        )
+
+    csig = band_sigs(corpus).groupBy("band", "sig").agg(
+        F.min("doc_id").alias("c_doc")
+    )
+    near = (
+        band_sigs(new_docs)
+        .join(csig, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("c_doc").alias("near_match"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+            F.coalesce("exact_match", "near_match").alias("match_id"),
+        )
+    )

@@ -328,3 +328,52 @@ def test_c4_line_filter_is_exchange_free(spark) -> None:
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_span_dedup_matches_pure_python_replay(spark) -> None:
+    """Seeded random corpora vs a from-scratch ExactSubstr replay: the
+    keeper is the globally-min (doc_id, pos) occurrence per gram, every
+    other occurrence's k-window is cut, survivors reassemble in order."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab => many collisions
+    k = 3
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 18))))
+        for i in range(60)
+    ]
+
+    # pure-Python oracle
+    first: dict[tuple, tuple] = {}
+    occs: list[tuple] = []
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for pos in range(len(toks) - k + 1):
+            g = tuple(toks[pos : pos + k])
+            occs.append((doc_id, pos, g))
+            if g not in first or (doc_id, pos) < first[g]:
+                first[g] = (doc_id, pos)
+    counts: dict[tuple, int] = {}
+    for _, _, g in occs:
+        counts[g] = counts.get(g, 0) + 1
+    covered: dict[int, set] = {}
+    for doc_id, pos, g in occs:
+        if counts[g] >= 2 and first[g] != (doc_id, pos):
+            covered.setdefault(doc_id, set()).update(range(pos, pos + k))
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        cut = covered.get(doc_id, set())
+        kept = [t for i, t in enumerate(toks) if i not in cut]
+        want[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["text_cleaned"])
+        for r in HG.span_dedup(sdf, k=k).collect()
+    }
+    assert got == want
+    # sanity: the corpus actually exercised the operator
+    assert any(v[1] > 0 for v in want.values())
+    assert any(v[1] == 0 and v[0] > 0 for v in want.values())

@@ -387,3 +387,60 @@ def test_gemm_survives_downstream_projection(spark, emb) -> None:
     sub = sorted(map(tuple, full.select("vec_a", "vec_b").collect()))
     ref = sorted((r["vec_a"], r["vec_b"]) for r in full.collect())
     assert sub == ref and len(sub) > 0
+
+
+# --- incremental (cross-snapshot) dedup -----------------------------------------
+
+
+def test_dedup_incremental_classifies_exact_near_novel(spark) -> None:
+    """Crafted snapshot pair: byte-copy -> exact_dup (matching the
+    SMALLEST corpus holder), shared-shingle overlap -> near_dup,
+    disjoint vocabulary -> novel; every new doc keeps exactly one row."""
+    from don_crawler_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),  # in-corpus twin of 1
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),      # exact copy
+            (11, "one two three four five six seven extra1"), # near (superset)
+            (12, "pp qq rr ss tt uu vv"),                     # novel
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(new, corpus).collect()}
+    assert len(out) == 3
+    assert out[10]["status"] == "exact_dup"
+    assert out[10]["match_id"] == 1  # min corpus doc wins over its twin 2
+    assert out[11]["status"] == "near_dup"
+    assert out[11]["match_id"] == 3
+    assert out[12]["status"] == "novel"
+    assert out[12]["match_id"] is None
+
+
+def test_dedup_incremental_no_text_crosses_the_joins(spark) -> None:
+    """Scale shape: the corpus collapses to fingerprint and (band, sig)
+    relations before any join with the new batch — the join keys are
+    hashes, so no Exchange in the plan carries the text column."""
+    from don_crawler_spark.operators.dedup import dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame([(9, "a b c d e")], "doc_id long, text string")
+    plan = (
+        dedup_incremental(new, corpus)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "text" not in m.group(0), m.group(0)
