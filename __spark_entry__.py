@@ -1524,6 +1524,64 @@ def sample_strat(spark, sf_dir):
 
 
 @_q(
+    "sample_source_cap",
+    # RefinedWeb/Dolma-style per-source cap: deterministic md5(doc_id)
+    # order picks identical survivors on both engines. The engine runs a
+    # two-phase salted top-k (skew-bounded); the oracle is the
+    # single-window definition it must equal.
+    """SELECT doc_id, source, cap_rank FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cap_rank
+  FROM documents) WHERE cap_rank <= 200""",
+)
+def sample_cap(spark, sf_dir):
+    """Per-source document cap via two-phase salted top-k
+    (operators/pipeline.py source_cap)."""
+    return PL.source_cap(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "doc_shuffle_shards",
+    # deterministic training-order permutation: shard = first 32 md5
+    # bits mod 8 (non-negative, so % == pmod), pos = md5-hex rank within
+    # the shard
+    """SELECT doc_id, shard, pos FROM (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8 AS INT) AS shard,
+         ROW_NUMBER() OVER (
+           PARTITION BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 8
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+  FROM documents)""",
+)
+def doc_shuffle(spark, sf_dir):
+    """Global-sort-free deterministic corpus shuffle
+    (operators/pipeline.py shuffle_shards)."""
+    return PL.shuffle_shards(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_ngram_topk",
+    # corpus top-20 3-grams, all occurrences (non-distinct), ties broken
+    # by gram text
+    f"""WITH g AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(toks) - 2, 0)),
+    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+  FROM (SELECT {SQL_TOKENS} AS toks FROM documents))
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY gram
+ORDER BY n_occurrences DESC, gram LIMIT 20""",
+)
+def ngram_topk_q(spark, sf_dir):
+    """Corpus top-k n-grams via partial-agg count + TakeOrdered
+    (operators/textstats.py ngram_topk)."""
+    return TS.ngram_topk(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "asof_signup_attribution",
     # point-in-time semantics pinned by a deterministic lateral top-1:
     # greatest signup ts at-or-before the purchase, event_id tiebreak

@@ -68,6 +68,9 @@ HEADLINE_QUERIES = [
     "sample_temperature",
     "quality_ppl_buckets",
     "text_tfidf_topk",
+    "text_ngram_topk",
+    "sample_source_cap",
+    "doc_shuffle_shards",
     "graph_pagerank",
     "k4_bucketed_join",
     "multimodal_features",

@@ -186,3 +186,77 @@ def sample_stratified(docs: DataFrame, rates: dict[str, float] | None = None) ->
         .filter(F.col("sample_u") < rate)
         .select("doc_id", "lang", F.round("sample_u", 6).alias("sample_u"))
     )
+
+
+CAP_PER_SOURCE = 200  # max docs kept per source
+CAP_SALTS = 16  # phase-1 salt cells per source (skew bound)
+
+
+def source_cap(
+    docs: DataFrame, cap: int = CAP_PER_SOURCE, n_salts: int = CAP_SALTS
+) -> DataFrame:
+    """Per-source document cap (the RefinedWeb / Dolma corpus-balancing
+    step): keep at most ``cap`` documents per source, chosen by a
+    deterministic md5(doc_id) order so reruns — and the SQL oracle —
+    pick identical survivors. No rand().
+
+    Two-phase salted top-k (the same shape as the crawl's budget rank,
+    plans/round.py): phase 1 ranks inside (source, salt) cells — a hot
+    source's rows sort in ``n_salts`` parallel cells, each pruned to
+    ``cap`` rows — and phase 2 ranks exactly over the <= cap*n_salts
+    survivors per source. A source with 10^9 docs never sorts 10^9 rows
+    in one task; the exact window sees at most cap*n_salts of them.
+
+    Returns (doc_id, source, cap_rank), cap_rank in [1, cap].
+    """
+    hhex = F.md5(F.col("doc_id").cast("string"))
+    base = docs.select("doc_id", "source", hhex.alias("h"))
+    salt = F.pmod(
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("bigint"), F.lit(n_salts)
+    )
+    w_cell = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    pruned = (
+        base.withColumn("salt", salt)
+        .withColumn("cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("cell_rank") <= cap)
+        .drop("salt", "cell_rank")
+    )
+    w_exact = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        pruned.withColumn("cap_rank", F.row_number().over(w_exact))
+        .filter(F.col("cap_rank") <= cap)
+        .select("doc_id", "source", "cap_rank")
+    )
+
+
+SHUFFLE_SHARDS = 8  # training-order shards; one sort task per shard
+
+
+def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame:
+    """Deterministic global training-order assignment — the "shuffle the
+    corpus before tokenizer ingest" step — WITHOUT a global sort: shard
+    = first 32 md5 bits mod ``n_shards``, position = rank of the full
+    md5 hex within the shard. Reading shards in order, rows by ``pos``,
+    yields a reproducible pseudorandom permutation of the corpus (md5 is
+    uniform; doc_id tie-break covers 32-bit prefix collisions).
+
+    Plan shape: one hash exchange on ``shard``, then ``n_shards``
+    independent in-partition sorts — no rangepartitioning barrier, no
+    driver-side sampling pass, and the layout parallelizes to
+    ``n_shards`` tasks at any corpus size. The same hash order is what
+    a dataloader can recompute independently, so the assignment doubles
+    as a storage-layout contract (write bucketed by shard, sorted by h).
+
+    Returns (doc_id, shard, pos), pos 0-based within shard.
+    """
+    hhex = F.md5(F.col("doc_id").cast("string"))
+    h32 = F.conv(F.substring(hhex, 1, 8), 16, 10).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        hhex.alias("h"),
+        F.pmod(h32, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id", "shard", (F.row_number().over(w) - F.lit(1)).alias("pos")
+    )

@@ -109,3 +109,33 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.md5(F.trim(norm)).alias("fingerprint")
     )
+
+
+NGRAM_TOPK_N = 3  # gram width
+NGRAM_TOPK_K = 20  # rows returned
+
+
+def ngram_topk(
+    docs: DataFrame, n: int = NGRAM_TOPK_N, k: int = NGRAM_TOPK_K
+) -> DataFrame:
+    """Corpus-level top-k most frequent word n-grams — the boilerplate /
+    template-discovery analysis pass (what "most common 3-grams in the
+    crawl" dashboards run).
+
+    Plan shape: explode all (non-distinct) n-grams map-side, one
+    hash-partitioned count with map-side partial aggregation, then a
+    global TakeOrderedAndProject(k) on (count DESC, gram) — each
+    partition ships only its local top-k to the driver, never the full
+    gram distribution (which at 100 TB is itself TB-scale). Ties are
+    broken by gram text, so the k rows are deterministic.
+    """
+    from don_crawler_spark.operators.pipeline import _grams
+
+    grams = _grams(tokens_col(), n)
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "gram")
+        .limit(k)
+    )

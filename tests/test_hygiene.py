@@ -377,3 +377,37 @@ def test_span_dedup_matches_pure_python_replay(spark) -> None:
     # sanity: the corpus actually exercised the operator
     assert any(v[1] > 0 for v in want.values())
     assert any(v[1] == 0 and v[0] > 0 for v in want.values())
+
+
+def test_ngram_topk_counts_all_occurrences(spark) -> None:
+    """Crafted corpus: repeated 3-grams count per occurrence (non-
+    distinct), ties break on gram text, short docs contribute nothing."""
+    from don_crawler_spark.operators.textstats import ngram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),  # 'a b c' x2, 'b c a' x1, 'c a b' x1
+            (2, "a b c d"),  # 'a b c', 'b c d'
+            (3, "x y"),  # too short: no 3-grams
+            (4, "b c d"),  # 'b c d'
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r["gram"], r["n_occurrences"]) for r in ngram_topk(docs, k=3).collect()]
+    assert rows == [("a b c", 3), ("b c d", 2), ("b c a", 1)]
+
+
+def test_ngram_topk_plan_is_take_ordered(spark) -> None:
+    # the global top-k must be a TakeOrderedAndProject (per-partition
+    # local top-k to the driver), never a full global sort
+    from don_crawler_spark.operators.textstats import ngram_topk
+    from don_crawler_spark.sources.tables import load
+
+    plan = (
+        ngram_topk(load(spark, "/root/testdata/sf0.001", "documents", respread=False))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan

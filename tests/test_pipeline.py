@@ -100,3 +100,68 @@ def test_pack_plan_window_is_partitioned(spark) -> None:
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_source_cap_matches_single_window_replay(spark) -> None:
+    """The two-phase salted top-k must equal the one-window definition:
+    replay the md5 order from scratch with hashlib and rank in Python."""
+    docs = load(spark, SF, "documents", respread=False)
+    got = {
+        (r["doc_id"], r["source"]): r["cap_rank"]
+        for r in PL.source_cap(docs, cap=7, n_salts=4).collect()
+    }
+    rows = docs.select("doc_id", "source").collect()
+    by_source: dict[str, list[tuple[str, int]]] = {}
+    for r in rows:
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_source.setdefault(r["source"], []).append((h, r["doc_id"]))
+    want = {}
+    for src, lst in by_source.items():
+        for i, (_, doc_id) in enumerate(sorted(lst)[:7]):
+            want[(doc_id, src)] = i + 1
+    assert got == want
+
+
+def test_source_cap_plan_windows_are_partitioned(spark) -> None:
+    # both ranking phases must run inside hash partitions — a global
+    # (rangepartitioning) sort anywhere means the salting didn't happen
+    plan = _plan(PL.source_cap(load(spark, SF, "documents", respread=False)))
+    assert "rangepartitioning" not in plan
+    assert plan.count("Window") >= 2
+
+
+def test_shuffle_shards_is_permutation_and_replayable(spark) -> None:
+    docs = load(spark, SF, "documents", respread=False)
+    out = PL.shuffle_shards(docs, n_shards=4).collect()
+    n = docs.count()
+    assert len(out) == n
+    # (shard, pos) is a partition of [0, n) — each shard's positions are
+    # exactly 0..len(shard)-1 with no gaps
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == n
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # independent hashlib replay of shard and order for one shard
+    def key(doc_id: int) -> tuple[str, int]:
+        return (hashlib.md5(str(doc_id).encode()).hexdigest(), doc_id)
+
+    want0 = sorted(
+        (key(r["doc_id"]) for r in out if r["shard"] == 0),
+    )
+    got0 = sorted(
+        ((key(r["doc_id"]), r["pos"]) for r in out if r["shard"] == 0),
+        key=lambda t: t[1],
+    )
+    assert [k for k, _ in got0] == want0
+    for r in out:
+        h32 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert r["shard"] == h32 % 4
+
+
+def test_shuffle_shards_plan_no_global_sort(spark) -> None:
+    plan = _plan(PL.shuffle_shards(load(spark, SF, "documents", respread=False)))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
