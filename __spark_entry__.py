@@ -1542,6 +1542,36 @@ def sample_cap(spark, sf_dir):
 
 
 @_q(
+    "sample_token_budget",
+    # mixture construction to absolute per-source token budgets:
+    # keep_rate = min(1, budget/total_tokens(source)), md5 draw per doc
+    f"""WITH toks AS (
+  SELECT doc_id, source, CAST(len({SQL_TOKENS}) AS BIGINT) AS n_tokens
+  FROM documents),
+rates AS (
+  SELECT source,
+         COALESCE(LEAST(1.0, CASE source
+             WHEN 'crawl' THEN 30000.0 WHEN 'forum' THEN 5000.0
+             WHEN 'wiki' THEN 8000.0 END / SUM(n_tokens)), 1.0) AS keep_rate
+  FROM toks GROUP BY source)
+SELECT t.doc_id, t.source, t.n_tokens,
+       ROUND(r.keep_rate, 6) AS keep_rate,
+       ROUND(u.sample_u, 6) AS sample_u
+FROM toks t
+JOIN rates r ON r.source = t.source
+JOIN (SELECT doc_id,
+        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0 AS sample_u FROM documents) u
+  ON u.doc_id = t.doc_id
+WHERE u.sample_u < r.keep_rate""",
+)
+def sample_budget(spark, sf_dir):
+    """Absolute-token-budget source mixing
+    (operators/pipeline.py sample_token_budget)."""
+    return PL.sample_token_budget(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "doc_shuffle_shards",
     # deterministic training-order permutation: shard = first 32 md5
     # bits mod 8 (non-negative, so % == pmod), pos = md5-hex rank within

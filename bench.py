@@ -66,6 +66,7 @@ HEADLINE_QUERIES = [
     "quality_gopher_rules",
     "decontaminate_ngrams",
     "sample_temperature",
+    "sample_token_budget",
     "quality_ppl_buckets",
     "text_tfidf_topk",
     "text_ngram_topk",

@@ -260,3 +260,64 @@ def shuffle_shards(docs: DataFrame, n_shards: int = SHUFFLE_SHARDS) -> DataFrame
     return base.select(
         "doc_id", "shard", (F.row_number().over(w) - F.lit(1)).alias("pos")
     )
+
+
+# per-source token budgets for mixture construction; sources not listed
+# are kept whole. Deterministic module constants so the DuckDB oracle
+# can inline identical literals.
+TOKEN_BUDGETS: dict[str, int] = {
+    "crawl": 30_000,
+    "wiki": 8_000,
+    "forum": 5_000,
+}
+
+
+def sample_token_budget(
+    docs: DataFrame, budgets: dict[str, int] | None = None
+) -> DataFrame:
+    """Mixture construction to ABSOLUTE per-source token budgets (the
+    Pile / Dolma "data mixing" step): each source's keep rate is
+    min(1, budget_tokens / total_tokens(source)), applied as a
+    deterministic md5 draw per doc. In expectation each kept source
+    contributes its budgeted token count; unlisted sources keep
+    everything. Differs from temperature_sample (relative sqrt
+    rebalancing over languages): here the targets are absolute token
+    counts per source, the form a training-mix spec actually arrives in.
+
+    Plan shape: one partial-agg groupBy over (source) — map-side
+    combine, |sources| result rows — then a broadcast join of the tiny
+    rate table back onto the corpus and a map-side filter. No window
+    over corpus rows, no rand().
+
+    Returns kept (doc_id, source, n_tokens, keep_rate, sample_u),
+    rates/draws rounded for stable cross-engine hashing.
+    """
+    budgets = TOKEN_BUDGETS if budgets is None else budgets
+    budget_col = F.lit(None).cast("double")
+    for src, b in sorted(budgets.items()):
+        budget_col = F.when(F.col("source") == src, F.lit(float(b))).otherwise(
+            budget_col
+        )
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    totals = toks.groupBy("source").agg(F.sum("n_tokens").alias("total_tokens"))
+    rates = totals.select(
+        "source",
+        F.coalesce(
+            F.least(F.lit(1.0), budget_col / F.col("total_tokens")), F.lit(1.0)
+        ).alias("keep_rate"),
+    )
+    u = sample_uniform_col()
+    return (
+        toks.withColumn("sample_u", u)
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("sample_u") < F.col("keep_rate"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("keep_rate", 6).alias("keep_rate"),
+            F.round("sample_u", 6).alias("sample_u"),
+        )
+    )

@@ -165,3 +165,38 @@ def test_shuffle_shards_plan_no_global_sort(spark) -> None:
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_token_budget_rates_and_draws_replay(spark) -> None:
+    """Independent replay: per-source totals from a plain collect, rate =
+    min(1, budget/total), md5 draw from hashlib — the operator's kept set
+    and reported rates must match exactly."""
+    docs = load(spark, SF, "documents", respread=False)
+    toks = {
+        (r["doc_id"], r["source"]): len([t for t in r["text"].split(" ") if t])
+        for r in docs.select("doc_id", "source", "text").collect()
+    }
+    totals: dict[str, int] = {}
+    for (_, src), n in toks.items():
+        totals[src] = totals.get(src, 0) + n
+    budgets = PL.TOKEN_BUDGETS
+    want = {}
+    for (doc_id, src), n in toks.items():
+        rate = min(1.0, budgets[src] / totals[src]) if src in budgets else 1.0
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) / 2**32
+        if u < rate:
+            want[doc_id] = (src, n, round(rate, 6), round(u, 6))
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["keep_rate"], r["sample_u"])
+        for r in PL.sample_token_budget(docs).collect()
+    }
+    assert got == want
+
+
+def test_token_budget_plan_broadcasts_rates(spark) -> None:
+    # the rate table must come back via a broadcast join — corpus rows
+    # never shuffle for the mix step; the only exchange is the tiny
+    # per-source total agg
+    plan = _plan(PL.sample_token_budget(load(spark, SF, "documents", respread=False)))
+    assert "BroadcastHashJoin" in plan
+    assert "rangepartitioning" not in plan
