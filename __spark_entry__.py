@@ -25,6 +25,7 @@ from don_crawler_spark.operators import quality as QL
 from don_crawler_spark.operators import sessions as SS
 from don_crawler_spark.operators import multimodal as MM
 from don_crawler_spark.operators import pipeline as PL
+from don_crawler_spark.operators import retrieval as RT
 from don_crawler_spark.operators import similarity as SIM
 from don_crawler_spark.operators import textstats as TS
 from don_crawler_spark.operators.vitality import (
@@ -1590,6 +1591,91 @@ def doc_shuffle(spark, sf_dir):
     """Global-sort-free deterministic corpus shuffle
     (operators/pipeline.py shuffle_shards)."""
     return PL.shuffle_shards(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "retrieval_bm25_topk",
+    # BM25 (+1-idf Lucene variant) over a fixed query-term set; per-term
+    # contributions integer-scaled (round(w*1e9)) BEFORE the per-doc sum so
+    # the aggregate is order-free exact arithmetic; top-k on the exact
+    # integer score, ties by doc_id
+    f"""WITH base AS (
+  SELECT doc_id, len(toks) AS dl, toks
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl,
+          unnest(list_filter(toks,
+            t -> t IN ('merge', 'window', 'customer'))) AS term
+        FROM base)
+  GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_terms,
+         SUM(CAST(ROUND(
+           ((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf) * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           * 1000000000) AS BIGINT)) AS raw_i
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id, n_terms, ROUND(raw_i / 1000000000.0, 6) AS bm25
+FROM s ORDER BY raw_i DESC, doc_id LIMIT 20""",
+)
+def bm25_q(spark, sf_dir):
+    """Corpus BM25 top-k for a fixed query (operators/retrieval.py
+    bm25_topk): map-side term prune, broadcast df/N/avgdl dims,
+    integer-exact score sum, TakeOrdered top-k."""
+    return RT.bm25_topk(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "chunk_sliding_window",
+    # overlapping 64-token windows every 32 tokens; last chunk may be
+    # short; docs with no tokens emit nothing
+    f"""WITH base AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+  WHERE len(toks) > 0),
+e AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, (greatest(n - 64, 0) + 31) // 32)) AS i
+  FROM base)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, i * 32 + 1, least(i * 32 + 64, n)))
+            AS INT) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, i * 32 + 1, least(i * 32 + 64, n)),
+                       ' ') AS chunk_text
+FROM e""",
+)
+def chunks_q(spark, sf_dir):
+    """Sliding context-window chunking (operators/pipeline.py
+    sliding_chunks): pure map-side explode+slice, zero shuffles."""
+    return PL.sliding_chunks(load(spark, sf_dir, "documents"))
+
+
+@_q(
+    "bpe_pair_topk",
+    # adjacent BPE-pre-token pair counts, top-50 — the counting step of
+    # one BPE merge; parallel unnests zip in DuckDB
+    """WITH s AS (
+  SELECT regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')
+    AS toks
+  FROM documents),
+p AS (
+  SELECT unnest(list_transform(g, i -> toks[i])) AS left_tok,
+         unnest(list_transform(g, i -> toks[i + 1])) AS right_tok
+  FROM (SELECT toks,
+          generate_series(1, greatest(len(toks) - 1, 0)) AS g FROM s))
+SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY left_tok, right_tok
+ORDER BY n_pairs DESC, left_tok, right_tok LIMIT 50""",
+)
+def bpe_pairs_q(spark, sf_dir):
+    """Top-k adjacent pre-token pairs — one BPE merge-step statistic
+    (operators/textstats.py bpe_pair_stats)."""
+    return TS.bpe_pair_stats(load(spark, sf_dir, "documents"))
 
 
 @_q(

@@ -70,6 +70,9 @@ HEADLINE_QUERIES = [
     "quality_ppl_buckets",
     "text_tfidf_topk",
     "text_ngram_topk",
+    "retrieval_bm25_topk",
+    "chunk_sliding_window",
+    "bpe_pair_topk",
     "sample_source_cap",
     "doc_shuffle_shards",
     "graph_pagerank",

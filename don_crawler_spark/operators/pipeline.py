@@ -321,3 +321,47 @@ def sample_token_budget(
             F.round("sample_u", 6).alias("sample_u"),
         )
     )
+
+
+# sliding-window chunking: context-window preparation for long documents
+CHUNK_WINDOW = 64  # tokens per chunk
+CHUNK_STRIDE = 32  # tokens between chunk starts (overlap = WINDOW-STRIDE)
+
+
+def sliding_chunks(
+    docs: DataFrame, window: int = CHUNK_WINDOW, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows — the
+    standard context-window preparation step between cleaning and
+    tokenizer ingest (every doc longer than the model context is cut into
+    `window`-token chunks every `stride` tokens; the final chunk may be
+    short but every token is covered exactly once by a chunk start).
+
+    Chunk starts are 1 + i*stride for i in 0..ceil(max(n-window,0)/stride)
+    — for n <= window exactly one chunk, else the last start is the
+    smallest that still reaches the end.
+
+    Plan shape: pure map-side (tokenize -> sequence -> explode -> slice);
+    NO shuffle, no window function, no Python. Output size is bounded by
+    ~n_tokens/stride rows per doc, each carrying only its own slice — at
+    100 TB this is an embarrassingly parallel scan->project.
+    """
+    base = (
+        docs.select("doc_id", tokens_col().alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    # integer ceil((n-window)+/stride) with the short-doc case guarded to 0
+    m = F.floor(
+        (F.greatest(F.col("n") - window, F.lit(0)) + (stride - 1)) / stride
+    ).cast("int")
+    exploded = base.select(
+        "doc_id", "toks", "n", F.explode(F.sequence(F.lit(0), m)).alias("i")
+    )
+    chunk = F.slice(F.col("toks"), F.col("i") * stride + 1, window)
+    return exploded.select(
+        "doc_id",
+        F.col("i").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

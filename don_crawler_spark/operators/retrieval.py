@@ -1,0 +1,108 @@
+"""Full-text retrieval over the extracted-text corpus: BM25 top-k scoring.
+
+The crawl side of the reference (crawler/crawler.go) produces extracted
+text; the natural downstream consumer in a webtext pipeline is a ranked
+retrieval index. This operator scores every document against a fixed
+query-term set with BM25 (Robertson/Sparck-Jones; the +1 idf variant used
+by Lucene) and returns the global top-k — the batch "build the relevance
+slice" job a training pipeline runs to mine topical subsets.
+
+Plan shape (designed for 10^10 docs):
+- the token array is pruned to the query terms MAP-SIDE (array filter
+  before the explode), so the shuffle carries only matching-term rows —
+  O(corpus hits), not O(corpus tokens);
+- corpus scalars (N, avgdl) and the per-term document frequencies are
+  single-digit-row aggregates, broadcast to the score join;
+- per-term contributions are scaled to integers (round(w * 1e9)) BEFORE
+  the per-doc sum, so the aggregate is exact integer arithmetic — no
+  float summation-order nondeterminism between partitions (and the DuckDB
+  oracle replays it bit-for-bit);
+- the final top-k is an orderBy().limit() — TakeOrderedAndProject,
+  per-partition heads only, never a global sort.
+
+No Python UDFs anywhere; every expression is native/codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.dedup import tokens_col
+
+# deterministic module constants, inlined identically in the DuckDB oracle
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY: list[str] = ["merge", "window", "customer"]
+BM25_TOPK = 20
+_SCALE = 1_000_000_000  # integer scale for order-free double summation
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Global BM25 top-k for a fixed query-term set.
+
+    Output: (doc_id, n_terms, bm25) — matched distinct query terms and the
+    score rounded to 6 decimals; rows ordered by score desc, doc_id asc.
+    """
+    terms = list(BM25_QUERY if terms is None else terms)
+    base = docs.select(
+        "doc_id", tokens_col().alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        # map-side prune: only query-term occurrences survive to the explode
+        F.filter("toks", lambda t: t.isin(*terms)).alias("qtoks"),
+    )
+
+    # corpus scalars over ALL docs (single row -> broadcast cross join)
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        base.filter(F.size("qtoks") > 0)
+        .select("doc_id", "dl", F.explode("qtoks").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        (1.0 - b) + b * F.col("dl") / F.col("avgdl")
+    )
+    # left-assoc multiplication mirrors the oracle's SQL parse exactly
+    w = ((idf * F.col("tf")) * (k1 + 1.0)) / denom
+    w_i = F.round(w * _SCALE).cast("bigint")
+
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", w_i.alias("w_i"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.sum("w_i").alias("raw_i"),
+        )
+    )
+    # top-k on the EXACT integer score (ties broken by doc_id) so the
+    # boundary row is identical in Spark and the DuckDB oracle; the rounded
+    # double is presentation only
+    return (
+        scored.orderBy(F.desc("raw_i"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "n_terms",
+            F.round(F.col("raw_i") / float(_SCALE), 6).alias("bm25"),
+        )
+    )

@@ -139,3 +139,42 @@ def ngram_topk(
         .orderBy(F.desc("n_occurrences"), "gram")
         .limit(k)
     )
+
+
+BPE_PAIR_TOPK = 50
+
+
+def bpe_pair_stats(docs: DataFrame, k: int = BPE_PAIR_TOPK) -> DataFrame:
+    """Corpus-wide adjacent pre-token pair frequencies, top-k — the
+    counting statistic of one BPE merge step (Sennrich et al. 2016): the
+    pair that would be merged next is the head of this table. Running it
+    over the extracted-text corpus is how a tokenizer-induction pipeline
+    picks its merge table.
+
+    Plan shape: the pair explode is map-side (transform over the
+    subword array, no self-join), the count is one hash-partitioned
+    aggregate with map-side combine, and the top-k is
+    TakeOrderedAndProject on (count DESC, left_tok, right_tok) — each
+    partition ships only its local head, never the full pair
+    distribution (vocab^2-shaped at corpus scale).
+    """
+    sub = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0)
+    pair_t = "array<struct<l:string,r:string>>"
+    pairs = F.when(
+        F.size(sub) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(sub) - 1),
+            lambda i: F.struct(
+                F.element_at(sub, i).alias("l"),
+                F.element_at(sub, i + 1).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast(pair_t))
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.l").alias("left_tok"), F.col("p.r").alias("right_tok"))
+        .groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "left_tok", "right_tok")
+        .limit(k)
+    )
