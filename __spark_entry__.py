@@ -1630,6 +1630,65 @@ def bm25_q(spark, sf_dir):
 
 
 @_q(
+    "retrieval_hybrid_rrf",
+    # sparse+dense reciprocal-rank fusion: BM25 top-100 and cosine-vs-
+    # query-vector top-100 ranked on exact deterministic keys (integer
+    # BM25 score / 6-dp cosine, ties by id), fused 1/(60+rank) per signal
+    f"""WITH base AS (
+  SELECT doc_id, len(toks) AS dl, toks
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM base),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, dl,
+          unnest(list_filter(toks,
+            t -> t IN ('merge', 'window', 'customer'))) AS term
+        FROM base)
+  GROUP BY doc_id, dl, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT doc_id,
+         SUM(CAST(ROUND(
+           ((ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf) * 2.2)
+           / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           * 1000000000) AS BIGINT)) AS raw_i
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY doc_id),
+sp AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY raw_i DESC, doc_id)
+         AS INT) AS bm25_rank FROM s),
+spp AS (SELECT * FROM sp WHERE bm25_rank <= 100),
+q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+dn AS (
+  SELECT c.vec_id AS doc_id,
+         ROUND(list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]))), 6) AS cos6
+  FROM embeddings c, q),
+dr AS (
+  SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos6 DESC, doc_id)
+         AS INT) AS cos_rank FROM dn),
+drr AS (SELECT * FROM dr WHERE cos_rank <= 100),
+f AS (
+  SELECT doc_id, bm25_rank, cos_rank,
+         COALESCE(1.0 / (60 + bm25_rank), 0.0)
+         + COALESCE(1.0 / (60 + cos_rank), 0.0) AS rrf_raw
+  FROM spp FULL OUTER JOIN drr USING (doc_id))
+SELECT doc_id, bm25_rank, cos_rank, ROUND(rrf_raw, 6) AS rrf
+FROM f ORDER BY rrf_raw DESC, doc_id LIMIT 20""",
+)
+def hybrid_rrf_q(spark, sf_dir):
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion
+    (operators/retrieval.py hybrid_rrf_topk): per-signal TakeOrdered
+    pools, bounded rank windows, full-outer fuse over <= 2*pool rows."""
+    return RT.hybrid_rrf_topk(
+        load(spark, sf_dir, "documents"), load(spark, sf_dir, "embeddings")
+    )
+
+
+@_q(
     "chunk_sliding_window",
     # overlapping 64-token windows every 32 tokens; last chunk may be
     # short; docs with no tokens emit nothing

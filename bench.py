@@ -71,6 +71,7 @@ HEADLINE_QUERIES = [
     "text_tfidf_topk",
     "text_ngram_topk",
     "retrieval_bm25_topk",
+    "retrieval_hybrid_rrf",
     "chunk_sliding_window",
     "bpe_pair_topk",
     "sample_source_cap",

@@ -38,19 +38,14 @@ BM25_TOPK = 20
 _SCALE = 1_000_000_000  # integer scale for order-free double summation
 
 
-def bm25_topk(
+def _bm25_scored(
     docs: DataFrame,
-    terms: list[str] | None = None,
-    k: int = BM25_TOPK,
+    terms: list[str],
     k1: float = BM25_K1,
     b: float = BM25_B,
 ) -> DataFrame:
-    """Global BM25 top-k for a fixed query-term set.
-
-    Output: (doc_id, n_terms, bm25) — matched distinct query terms and the
-    score rounded to 6 decimals; rows ordered by score desc, doc_id asc.
-    """
-    terms = list(BM25_QUERY if terms is None else terms)
+    """(doc_id, n_terms, raw_i) for every doc matching >=1 query term —
+    raw_i is the integer-scaled exact BM25 score (see module docstring)."""
     base = docs.select(
         "doc_id", tokens_col().alias("toks")
     ).select(
@@ -84,7 +79,7 @@ def bm25_topk(
     w = ((idf * F.col("tf")) * (k1 + 1.0)) / denom
     w_i = F.round(w * _SCALE).cast("bigint")
 
-    scored = (
+    return (
         tf.join(F.broadcast(df_tbl), "term")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", w_i.alias("w_i"))
@@ -94,15 +89,128 @@ def bm25_topk(
             F.sum("w_i").alias("raw_i"),
         )
     )
-    # top-k on the EXACT integer score (ties broken by doc_id) so the
-    # boundary row is identical in Spark and the DuckDB oracle; the rounded
-    # double is presentation only
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str] | None = None,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Global BM25 top-k for a fixed query-term set.
+
+    Output: (doc_id, n_terms, bm25) — matched distinct query terms and the
+    score rounded to 6 decimals; rows ordered by score desc, doc_id asc.
+    Top-k selects on the EXACT integer score (ties broken by doc_id) so
+    the boundary row is identical in Spark and the DuckDB oracle; the
+    rounded double is presentation only.
+    """
+    terms = list(BM25_QUERY if terms is None else terms)
     return (
-        scored.orderBy(F.desc("raw_i"), "doc_id")
+        _bm25_scored(docs, terms, k1, b)
+        .orderBy(F.desc("raw_i"), "doc_id")
         .limit(k)
         .select(
             "doc_id",
             "n_terms",
             F.round(F.col("raw_i") / float(_SCALE), 6).alias("bm25"),
+        )
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -------------------------------
+
+RRF_C = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 100  # per-signal candidate pool depth
+RRF_TOPK = 20
+RRF_QUERY_VEC_ID = 0  # embedding standing in for the encoded query
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str] | None = None,
+    query_vec_id: int = RRF_QUERY_VEC_ID,
+    pool: int = RRF_POOL,
+    k: int = RRF_TOPK,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion: fuse the
+    BM25 top-`pool` for the query terms with the cosine top-`pool`
+    against a query embedding; fused score = sum over signals of
+    1/(RRF_C + rank), docs absent from a list contribute 0 from it.
+
+    Plan shape (for 10^10 docs): each signal narrows to its top-`pool`
+    with TakeOrderedAndProject (per-partition heads, exact deterministic
+    keys: integer BM25 score / 6-dp-rounded cosine, ties by id), so the
+    rank windows and the full-outer fusion join run over <= 2*pool rows —
+    constant-size post-retrieval work regardless of corpus size. The
+    dense side is one broadcast of the single query vector and a map-side
+    codegen dot product; no Python anywhere.
+
+    Output: (doc_id, bm25_rank, cos_rank, rrf), top-k by fused score
+    desc, doc_id asc. Ranks are NULL for a doc missing from that signal's
+    pool.
+    """
+    from pyspark.sql import Window
+
+    terms = list(BM25_QUERY if terms is None else terms)
+
+    sparse_pool = (
+        _bm25_scored(docs, terms)
+        .orderBy(F.desc("raw_i"), "doc_id")
+        .limit(pool)
+    )
+    # windows below run over <= pool rows (post-top-k), so the single
+    # partition is bounded by construction — not a corpus-scale sort
+    sparse = sparse_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("raw_i"), "doc_id"))
+        .cast("int")
+        .alias("bm25_rank"),
+    )
+
+    from don_crawler_spark.operators.similarity import cosine_col
+
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_vec")
+    )
+    dense_pool = (
+        embeddings.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_col(F.col("embedding"), F.col("q_vec")), 6).alias(
+                "cos6"
+            ),
+        )
+        .orderBy(F.desc("cos6"), "doc_id")
+        .limit(pool)
+    )
+    dense = dense_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos6"), "doc_id"))
+        .cast("int")
+        .alias("cos_rank"),
+    )
+
+    contrib = lambda r: F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_C) + F.col(r)), F.lit(0.0)
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        (contrib("bm25_rank") + contrib("cos_rank")).alias("rrf_raw"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_raw"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "cos_rank",
+            F.round("rrf_raw", 6).alias("rrf"),
         )
     )

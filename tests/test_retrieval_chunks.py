@@ -158,3 +158,74 @@ def test_bpe_pairs_plan_shape(spark) -> None:
     plan = _plan(TS.bpe_pair_stats(load(spark, SF, "documents", respread=False)))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+# --- hybrid RRF --------------------------------------------------------------
+
+
+def test_hybrid_rrf_crafted_matches_replay(spark) -> None:
+    corpus = [
+        (0, "merge window customer"),  # hits all terms
+        (1, "merge merge merge"),
+        (2, "no query words here"),
+        (3, "customer window"),
+        (4, "plain filler text"),
+    ]
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = {d: rng.standard_normal(8).astype("float32") for d, _ in corpus}
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(d, [float(x) for x in v], 0) for d, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = [
+        (r["doc_id"], r["bm25_rank"], r["cos_rank"], r["rrf"])
+        for r in RT.hybrid_rrf_topk(docs, emb, pool=3, k=5).collect()
+    ]
+
+    # independent replay: BM25 ranks from _bm25_replay's exact raw scores,
+    # cosine ranks from numpy in double, fused 1/(60+r)
+    bm = _bm25_replay(corpus, RT.BM25_QUERY)
+    bm_order = sorted(bm, key=lambda d: (-bm[d][1], d))[:3]
+    q = vecs[0].astype("float64")
+    cos = {
+        d: round(
+            float(v.astype("float64") @ q)
+            / (
+                math.sqrt(float(v.astype("float64") @ v.astype("float64")))
+                * math.sqrt(float(q @ q))
+            ),
+            6,
+        )
+        for d, v in vecs.items()
+    }
+    cos_order = sorted(cos, key=lambda d: (-cos[d], d))[:3]
+    fused = {}
+    for i, d in enumerate(bm_order):
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + i + 1)
+    for i, d in enumerate(cos_order):
+        fused[d] = fused.get(d, 0.0) + 1.0 / (60 + i + 1)
+    want_order = sorted(fused, key=lambda d: (-fused[d], d))[:5]
+    want = [
+        (
+            d,
+            bm_order.index(d) + 1 if d in bm_order else None,
+            cos_order.index(d) + 1 if d in cos_order else None,
+            round(fused[d], 6),
+        )
+        for d in want_order
+    ]
+    assert sorted(got) == sorted(want)
+
+
+def test_hybrid_rrf_plan_shape(spark) -> None:
+    df = RT.hybrid_rrf_topk(
+        load(spark, SF, "documents", respread=False),
+        load(spark, SF, "embeddings", respread=False),
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    # each signal narrows with TakeOrdered before any window runs
+    assert plan.count("TakeOrderedAndProject") >= 2
