@@ -1738,6 +1738,32 @@ def bpe_pairs_q(spark, sf_dir):
 
 
 @_q(
+    "text_token_entropy",
+    # unigram token entropy, 1e-9-nat integer contributions per distinct
+    # token so engine/oracle sums agree regardless of summation order
+    f"""WITH t AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {SQL_TOKENS} AS toks FROM documents)
+  WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, n, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, n, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, n, tok)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CAST(COUNT(*) AS INT) AS n_distinct,
+       ROUND(SUM(CAST(ROUND(
+         ((cnt / CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE) / cnt))
+         * 1000000000) AS BIGINT)) / 1000000000.0, 6) AS token_entropy
+FROM c GROUP BY doc_id, n""",
+)
+def token_entropy_q(spark, sf_dir):
+    """Per-doc unigram token entropy — map-side run-length fold over the
+    sorted token array, zero exchanges (operators/textstats.py
+    token_entropy)."""
+    return TS.token_entropy(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_ngram_topk",
     # corpus top-20 3-grams, all occurrences (non-distinct), ties broken
     # by gram text

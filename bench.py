@@ -70,6 +70,7 @@ HEADLINE_QUERIES = [
     "quality_ppl_buckets",
     "text_tfidf_topk",
     "text_ngram_topk",
+    "text_token_entropy",
     "retrieval_bm25_topk",
     "retrieval_hybrid_rrf",
     "chunk_sliding_window",

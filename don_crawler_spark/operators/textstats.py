@@ -178,3 +178,66 @@ def bpe_pair_stats(docs: DataFrame, k: int = BPE_PAIR_TOPK) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "left_tok", "right_tok")
         .limit(k)
     )
+
+
+def token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc unigram token entropy + distinct-token count — the
+    vocabulary-diversity quality signal (near-zero entropy = keyword
+    stuffing / template spam; see the repetition family in
+    operators/pipeline.py for the n-gram variants).
+
+    Kernel: ONE map-side fold over the SORTED token array (same
+    run-length idea as pipeline._run_length_stats) — each closed run of
+    length c contributes (c/n)*ln(n/c), integer-scaled to 1e-9 nats
+    BEFORE accumulation so the sum is exact integer arithmetic and the
+    DuckDB oracle (which sums per-(doc,token) groups, a different order)
+    replays it bit-for-bit. Zero exchanges, zero Python; at 100 TB this
+    is a pure scan->project.
+    """
+    base = (
+        docs.select("doc_id", F.sort_array(tokens_col()).alias("s"))
+        .withColumn("n", F.size("s"))
+        .filter(F.col("n") > 0)
+    )
+    nd = F.col("n").cast("double")
+
+    def contrib(run):
+        rd = run.cast("double")
+        return F.round(((rd / nd) * F.log(nd / rd)) * 1_000_000_000).cast(
+            "bigint"
+        )
+
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("acc"),
+        F.lit(0).cast("int").alias("distinct"),
+    )
+
+    def step(acc, x):
+        extend = x.eqNullSafe(acc["prev"])
+        closed = F.when(
+            acc["run"] > 0, acc["acc"] + contrib(acc["run"])
+        ).otherwise(acc["acc"])
+        return F.struct(
+            x.alias("prev"),
+            F.when(extend, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(extend, acc["acc"]).otherwise(closed).alias("acc"),
+            F.when(extend, acc["distinct"])
+            .otherwise(acc["distinct"] + 1)
+            .alias("distinct"),
+        )
+
+    def finish(acc):  # close the trailing run (s is non-empty, so run >= 1)
+        return F.struct(
+            (acc["acc"] + contrib(acc["run"])).alias("acc"),
+            acc["distinct"].alias("distinct"),
+        )
+
+    folded = F.aggregate(F.col("s"), init, step, finish)
+    return base.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_tokens"),
+        folded["distinct"].alias("n_distinct"),
+        F.round(folded["acc"] / 1_000_000_000.0, 6).alias("token_entropy"),
+    )

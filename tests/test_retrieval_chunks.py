@@ -229,3 +229,39 @@ def test_hybrid_rrf_plan_shape(spark) -> None:
     assert "EvalPython" not in plan
     # each signal narrows with TakeOrdered before any window runs
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+# --- token entropy ------------------------------------------------------------
+
+
+def test_token_entropy_crafted_matches_replay(spark) -> None:
+    texts = {
+        1: "a a a a",  # one distinct -> entropy 0
+        2: "a b c d",  # uniform -> ln(4)
+        3: "a a b",  # 2/3*ln(3/2) + 1/3*ln(3)
+        4: "x",  # single token -> 0
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["token_entropy"])
+        for r in TS.token_entropy(docs).collect()
+    }
+    want = {}
+    for d, t in texts.items():
+        toks = t.split()
+        n = len(toks)
+        acc = 0
+        for tok in sorted(set(toks)):
+            c = toks.count(tok)
+            acc += int(round(((c / float(n)) * math.log(n / float(c))) * 1e9))
+        want[d] = (n, len(set(toks)), round(acc / 1e9, 6))
+    assert got == want
+    assert got[1][2] == 0.0 and got[4][2] == 0.0
+
+
+def test_token_entropy_plan_is_map_side_only(spark) -> None:
+    plan = _plan(TS.token_entropy(load(spark, SF, "documents", respread=False)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
