@@ -2007,6 +2007,116 @@ def filter_c4_lines_q(spark, sf_dir):
     )
 
 
+# UT1-style blocklist for filter_url_blocklist — exact hosts and
+# registered domains mixed, each reachable under the synthetic URL shape
+# below (source = 'src' || doc_id % 20, so suffix a == K mod 5 for srcK;
+# tld cycles on doc_id % 3): 'src1-1.net' (doc_id=1,...), 'src2-2.org'
+# (doc_id=2,...), exact host 'tracker.src3-3.com' (doc_id=63,...).
+_BL_DOMAINS = ("src1-1.net", "src2-2.org", "tracker.src3-3.com")
+
+
+@_q(
+    "filter_url_blocklist",
+    # RefinedWeb §3.1 UT1 URL filtering. The documents table carries no
+    # URL, so both engines first synthesize one deterministically from
+    # (doc_id, source, lang) — host with an optional tracker subdomain,
+    # cycling TLD, and a banned query word on every 11th doc — then the
+    # filter itself is exercised for real: exact-host hit, registered-
+    # domain hit (last two labels), and banned-word hit, with verdict
+    # columns instead of a drop (degrade-don't-drop).
+    """WITH p AS (
+  SELECT doc_id,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'tracker.' ELSE '' END
+      || source || '-' || CAST(doc_id % 5 AS VARCHAR)
+      || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.net'
+         ELSE '.org' END
+      || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR)
+      || CASE WHEN doc_id % 11 = 0 THEN '?ref=casino' ELSE '' END AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url,
+           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM p),
+r AS (
+  SELECT doc_id, url, host,
+         array_to_string(list_slice(string_split(host, '.'),
+           greatest(len(string_split(host, '.')) - 1, 1),
+           len(string_split(host, '.'))), '.') AS reg_domain
+  FROM h),
+bl(domain) AS (VALUES ('src1-1.net'), ('src2-2.org'),
+                      ('tracker.src3-3.com')),
+v AS (
+  SELECT doc_id, url, host, reg_domain,
+         (host IN (SELECT domain FROM bl)
+          OR reg_domain IN (SELECT domain FROM bl)) AS blocked_host,
+         contains(lower(url), 'casino') AS blocked_word
+  FROM r)
+SELECT doc_id, url, host, reg_domain, blocked_host, blocked_word,
+       NOT (blocked_host OR blocked_word) AS kept
+FROM v""",
+)
+def url_blocklist_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 7 == 0, F.lit("tracker.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".net"))
+        .otherwise(F.lit(".org")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        d.cast("string"),
+        F.when(d % 11 == 0, F.lit("?ref=casino")).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([(x,) for x in _BL_DOMAINS], "domain string")
+    return HG.url_blocklist_filter(pages, bl, banned_words=("casino",))
+
+
+@_q(
+    "text_normalize_ccnet",
+    # CCNet §4.1 normalization (the corpus-dedup key): the synthetic
+    # docs are pure ASCII prose, so both engines first append a
+    # deterministic accented/digit/punctuation suffix to every 5th doc
+    # (identical expressions), then the normalize kernel is exercised
+    # for real; the accent map is the explicit shared translate table.
+    f"""WITH inj AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' Visite DÉJÀ-vu café Nº 42, piñata & Ñoño!'
+              ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           translate(lower(text), '{HG.ACCENT_SRC}', '{HG.ACCENT_DST}'),
+           '[0-9]', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g'))
+           AS norm_text
+  FROM inj)
+SELECT doc_id, norm_text,
+  CAST(('0x' || substr(md5(norm_text), 1, 8)) AS BIGINT) AS norm_hash,
+  CAST(len(list_filter(string_split(norm_text, ' '), t -> t <> '')) AS INT)
+    AS n_norm_tokens
+FROM n""",
+)
+def text_normalize_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    sfx = F.lit(" Visite DÉJÀ-vu café Nº 42, piñata & Ñoño!")
+    inj = docs.select(
+        "doc_id",
+        F.when((F.col("doc_id") % 5) == 0, F.concat(F.col("text"), sfx))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return HG.normalize_text(inj)
+
+
 @_q(
     "quality_linear_score",
     # fastText-shape hashed linear scorer: token weight = first 32 bits

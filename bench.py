@@ -62,6 +62,8 @@ HEADLINE_QUERIES = [
     "dedup_paragraphs",
     "dedup_exact_substr",
     "filter_c4_lines",
+    "filter_url_blocklist",
+    "text_normalize_ccnet",
     "quality_linear_score",
     "quality_gopher_rules",
     "decontaminate_ngrams",

@@ -36,9 +36,11 @@ standard webtext-curation steps:
   itself never shuffles.
 
 Later additions to the family (same exact-oracle, no-Python-UDF rules):
-**ExactSubstr span dedup** (Lee et al. 2021 — see ``span_dedup``) and the
+**ExactSubstr span dedup** (Lee et al. 2021 — see ``span_dedup``), the
 **C4 line-level filter** (Raffel et al. 2020 §2.2 — see
-``c4_line_filter``).
+``c4_line_filter``), **UT1-style URL blocklist filtering** (RefinedWeb
+§3.1 — see ``url_blocklist_filter``), and **CCNet text normalization**
+(Wenzek et al. 2019 §4.1 — see ``normalize_text``).
 
 All have exact DuckDB oracles in __spark_entry__.py; none uses a Python
 UDF.
@@ -391,4 +393,122 @@ def c4_line_filter(
         F.when(page_ok, F.array_join(kept, sep))
         .otherwise(F.lit(""))
         .alias("text_filtered"),
+    )
+
+
+# Accent-strip map for normalize_text — an EXPLICIT translate table, the
+# cross-engine-deterministic subset (Spark and DuckDB both lack a common
+# strip-accents builtin; both translate() kernels are unicode-codepoint-
+# wise, so an explicit map replays exactly). Extend for production
+# language coverage; src and dst are kept the same length by the module
+# test.
+ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüçñýÿ"
+ACCENT_DST = "aaaaaa" + "eeee" + "iiii" + "ooooo" + "uuuu" + "c" + "n" + "yy"
+
+
+def normalize_text(docs: DataFrame, text: str = "text") -> DataFrame:
+    """CCNet-style text normalization (Wenzek et al. 2019, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    arXiv:1911.00359 §4.1 — the key under which CCNet dedups paragraphs
+    corpus-wide): lowercase, strip accents, map every digit to 0, replace
+    everything outside [a-z0 ] with a space, collapse runs of spaces and
+    trim. Emits the normalized text, the md5-prefix int64 fingerprint
+    used as the downstream dedup key (same hash convention as
+    dedup.fingerprints), and the post-normalization token count.
+
+    Plan shape: one map-side projection over the scan — zero exchanges,
+    zero joins, zero Python; at 100 TB this is scan-bound and pairs with
+    column pruning (reads doc_id + text only). Returns
+    (doc_id, norm_text, norm_hash, n_norm_tokens).
+    """
+    t = F.lower(F.col(text))
+    t = F.translate(t, ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.regexp_replace(t, "[^a-z0 ]+", " ")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return docs.select(
+        "doc_id",
+        t.alias("norm_text"),
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("norm_hash"),
+        F.size(F.filter(F.split(t, " "), lambda x: x != ""))
+        .cast("int")
+        .alias("n_norm_tokens"),
+    )
+
+
+# Banned-word default for url_blocklist_filter (UT1's adult/gambling
+# categories reduce to substring hits on the URL at this granularity).
+URL_BANNED_WORDS = ("casino", "viagra", "xxx")
+
+
+def url_blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    banned_words: tuple[str, ...] = URL_BANNED_WORDS,
+    url: str = "url",
+) -> DataFrame:
+    """UT1-blocklist URL filtering (RefinedWeb, Penedo et al. 2023 §3.1:
+    the Université Toulouse 1 blocklist of ~4.6M adult/fraud/gambling
+    domains, plus banned words scored on the URL itself): flag pages
+    whose URL host — or registered domain — appears in a curated
+    blocklist, or whose URL contains a banned word.
+
+    ``blocklist`` is a one-column DataFrame ``(domain: string)`` holding
+    exact hosts and registered domains mixed. At ~4.6M entries the list
+    is far too large for a literal IN chain but trivially broadcastable
+    next to a 10^10-page corpus, so the probe is two BROADCAST hash
+    joins — one keyed on the exact host, one on the registered domain.
+    (A single OR-keyed join would degrade to a nested loop; two
+    equi-joins keep both probes O(1) hash lookups.) The corpus never
+    crosses an exchange; host parsing and the banned-word scan are
+    map-side expressions. The registered domain is the last two
+    dot-labels — a full public-suffix-list lookup at production is one
+    more broadcast dim with the identical join shape.
+
+    Returns the input columns plus (host, reg_domain, blocked_host,
+    blocked_word, kept) — verdict columns, not a filter, mirroring the
+    crawl's degrade-don't-drop convention so callers can audit per-entry
+    block rates before dropping.
+    """
+    p = pages.withColumn(
+        "host",
+        F.lower(
+            F.regexp_extract(
+                F.col(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+            )
+        ),
+    )
+    labels = F.split(F.col("host"), r"\.")
+    p = p.withColumn(
+        "reg_domain",
+        F.array_join(
+            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
+            ".",
+        ),
+    )
+    bw = F.lit(False)
+    for w in banned_words:
+        bw = bw | F.lower(F.col(url)).contains(w.lower())
+    bl = blocklist.select("domain").distinct()
+    hosts = bl.select(
+        F.col("domain").alias("bl_h"), F.lit(True).alias("h_hit")
+    )
+    regs = bl.select(
+        F.col("domain").alias("bl_r"), F.lit(True).alias("r_hit")
+    )
+    p = p.join(
+        F.broadcast(hosts), F.col("host") == F.col("bl_h"), "left"
+    ).join(F.broadcast(regs), F.col("reg_domain") == F.col("bl_r"), "left")
+    blocked_host = F.coalesce(F.col("h_hit"), F.lit(False)) | F.coalesce(
+        F.col("r_hit"), F.lit(False)
+    )
+    return p.select(
+        *pages.columns,
+        "host",
+        "reg_domain",
+        blocked_host.alias("blocked_host"),
+        bw.alias("blocked_word"),
+        (~(blocked_host | bw)).alias("kept"),
     )

@@ -411,3 +411,129 @@ def test_ngram_topk_plan_is_take_ordered(spark) -> None:
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+# --- URL blocklist filter ------------------------------------------------------
+
+
+def test_url_blocklist_all_three_block_paths(spark) -> None:
+    pages = spark.createDataFrame(
+        [
+            (1, "https://ads.example.com/x"),  # exact-host hit
+            (2, "https://sub.bad.org/y"),  # registered-domain hit
+            (3, "https://ok.net/casino/z"),  # banned-word hit
+            (4, "https://clean.io/fine"),  # kept
+            (5, "https://bad.org/direct"),  # host == reg_domain hit
+            (6, "https://localhost/x"),  # single-label host
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("ads.example.com",), ("bad.org",)], "domain string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in HG.url_blocklist_filter(
+            pages, bl, banned_words=("casino",)
+        ).collect()
+    }
+    assert rows[1]["blocked_host"] and not rows[1]["blocked_word"]
+    assert rows[1]["host"] == "ads.example.com"
+    assert rows[1]["reg_domain"] == "example.com"
+    assert rows[2]["blocked_host"] and rows[2]["reg_domain"] == "bad.org"
+    assert rows[3]["blocked_word"] and not rows[3]["blocked_host"]
+    assert rows[4]["kept"]
+    assert not rows[4]["blocked_host"] and not rows[4]["blocked_word"]
+    assert rows[5]["blocked_host"]
+    assert rows[6]["host"] == "localhost"
+    assert rows[6]["reg_domain"] == "localhost"
+    assert rows[6]["kept"]
+    assert not any(rows[i]["kept"] for i in (1, 2, 3, 5))
+
+
+def test_url_blocklist_corpus_side_never_shuffles(spark) -> None:
+    """Both list probes must be broadcast hash joins: a ~4.6M-entry UT1
+    list broadcasts; the 10^10-page corpus never crosses an exchange."""
+    pages = spark.createDataFrame(
+        [(1, "https://a.b.c/x")], "doc_id long, url string"
+    )
+    bl = spark.createDataFrame([("a.b.c",)], "domain string")
+    plan = _plan(HG.url_blocklist_filter(pages, bl))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- CCNet text normalization --------------------------------------------------
+
+
+def test_normalize_text_ccnet_semantics(spark) -> None:
+    docs = spark.createDataFrame(
+        [
+            (1, "Café DÉJÀ-Vu!  42 piñata,  Ñoño"),
+            (2, ""),
+            (3, "   "),
+            (4, "MiXeD CaSe 2024 ... ok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in HG.normalize_text(docs).collect()}
+    assert rows[1]["norm_text"] == "cafe deja vu 00 pinata nono"
+    assert rows[1]["n_norm_tokens"] == 6
+    assert rows[2]["norm_text"] == "" and rows[2]["n_norm_tokens"] == 0
+    assert rows[3]["norm_text"] == "" and rows[3]["n_norm_tokens"] == 0
+    assert rows[4]["norm_text"] == "mixed case 0000 ok"
+
+
+def test_normalize_hash_is_md5_prefix_int(spark) -> None:
+    docs = spark.createDataFrame(
+        [(1, "Hello World 7")], "doc_id long, text string"
+    )
+    r = HG.normalize_text(docs).collect()[0]
+    expect = int(hashlib.md5(r["norm_text"].encode()).hexdigest()[:8], 16)
+    assert r["norm_hash"] == expect
+
+
+def test_normalize_matches_duckdb_on_unicode_edges(spark) -> None:
+    """The unicode path is the cross-engine risk (lower/translate on
+    multibyte codepoints): replay the exact oracle expression in DuckDB
+    on crafted accent/digit/symbol strings and compare byte-for-byte."""
+    import duckdb
+
+    texts = [
+        "Café DÉJÀ-Vu! 42 piñata, Ñoño",
+        "ÀÂÄÃÅ àâäãå ÉÈÊË éèêë ÍÌÎÏ íìîï ÓÒÔÖÕ óòôöõ ÚÙÛÜ úùûü Ç ç Ñ ñ Ý ý ÿ",
+        "№ § ß € 99 bottles",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["norm_text"], r["norm_hash"], r["n_norm_tokens"])
+        for r in HG.normalize_text(docs).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        nt, nh, nn = con.execute(
+            f"""SELECT norm_text,
+  CAST(('0x' || substr(md5(norm_text), 1, 8)) AS BIGINT),
+  CAST(len(list_filter(string_split(norm_text, ' '), x -> x <> '')) AS INT)
+FROM (SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+  translate(lower(?), '{HG.ACCENT_SRC}', '{HG.ACCENT_DST}'),
+  '[0-9]', '0', 'g'), '[^a-z0 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text)
+""",
+            [t],
+        ).fetchone()
+        assert got[i] == (nt, nh, nn), (i, got[i], (nt, nh, nn))
+
+
+def test_normalize_is_exchange_free(spark) -> None:
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = _plan(HG.normalize_text(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_accent_map_lengths_match() -> None:
+    assert len(HG.ACCENT_SRC) == len(HG.ACCENT_DST)
