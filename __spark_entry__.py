@@ -2118,6 +2118,75 @@ def text_normalize_q(spark, sf_dir):
 
 
 @_q(
+    "domain_quality_rollup",
+    # RefinedWeb §3.1 / FineWeb host-level stats: low-quality or
+    # duplicate-heavy DOMAINS get blocked wholesale. Same deterministic
+    # URL synthesis as filter_url_blocklist (the documents table carries
+    # no URL); per-domain mean quality sums integer-scaled (1e-6)
+    # contributions so the aggregate is order-free exact.
+    f"""WITH p AS (
+  SELECT doc_id, text,
+    'https://' || CASE WHEN doc_id % 7 = 0 THEN 'tracker.' ELSE '' END
+      || source || '-' || CAST(doc_id % 5 AS VARCHAR)
+      || CASE doc_id % 3 WHEN 0 THEN '.com' WHEN 1 THEN '.net'
+         ELSE '.org' END
+      || '/' || lang || '/page-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+h AS (
+  SELECT doc_id, text,
+         lower(regexp_extract(url,
+           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host
+  FROM p),
+r AS (
+  SELECT doc_id, text,
+         array_to_string(list_slice(string_split(host, '.'),
+           greatest(len(string_split(host, '.')) - 1, 1),
+           len(string_split(host, '.'))), '.') AS reg_domain
+  FROM h),
+sig AS (
+  SELECT reg_domain,
+         CAST(len({SQL_TOKENS}) AS BIGINT) AS n_toks,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+         CAST(round(ROUND(
+           0.4 * LEAST(1.0, len({SQL_TOKENS}) / 100.0)
+           + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          / GREATEST(length(text), 1))
+           + 0.3 * LEAST(1.0,
+               len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','of','and','to','in'], lower(t))))
+               / GREATEST(len({SQL_TOKENS}), 1) / 0.15), 6) * 1e6)
+           AS BIGINT) AS q6
+  FROM r)
+SELECT reg_domain,
+       COUNT(*) AS n_docs,
+       SUM(n_toks) AS total_tokens,
+       COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
+       ROUND(CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_quality
+FROM sig
+GROUP BY reg_domain""",
+)
+def domain_rollup_q(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 7 == 0, F.lit("tracker.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        (d % 5).cast("string"),
+        F.when(d % 3 == 0, F.lit(".com"))
+        .when(d % 3 == 1, F.lit(".net"))
+        .otherwise(F.lit(".org")),
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/page-"),
+        d.cast("string"),
+    )
+    pages = docs.select("doc_id", "text", url.alias("url"))
+    return HG.domain_rollup(HG.with_url_host(pages))
+
+
+@_q(
     "quality_linear_score",
     # fastText-shape hashed linear scorer: token weight = first 32 bits
     # of md5(token) centered to [-2^31, 2^31), BIGINT sum (order-free),

@@ -64,6 +64,7 @@ HEADLINE_QUERIES = [
     "filter_c4_lines",
     "filter_url_blocklist",
     "text_normalize_ccnet",
+    "domain_quality_rollup",
     "quality_linear_score",
     "quality_gopher_rules",
     "decontaminate_ngrams",

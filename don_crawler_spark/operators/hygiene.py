@@ -438,6 +438,29 @@ def normalize_text(docs: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+def with_url_host(pages: DataFrame, url: str = "url") -> DataFrame:
+    """Append ``host`` (lowercased authority of the URL) and ``reg_domain``
+    (registered domain = last two dot-labels; a full public-suffix-list
+    lookup at production is one broadcast dim away) — pure map-side
+    expressions shared by url_blocklist_filter and domain_rollup."""
+    p = pages.withColumn(
+        "host",
+        F.lower(
+            F.regexp_extract(
+                F.col(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
+            )
+        ),
+    )
+    labels = F.split(F.col("host"), r"\.")
+    return p.withColumn(
+        "reg_domain",
+        F.array_join(
+            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
+            ".",
+        ),
+    )
+
+
 # Banned-word default for url_blocklist_filter (UT1's adult/gambling
 # categories reduce to substring hits on the URL at this granularity).
 URL_BANNED_WORDS = ("casino", "viagra", "xxx")
@@ -472,22 +495,7 @@ def url_blocklist_filter(
     crawl's degrade-don't-drop convention so callers can audit per-entry
     block rates before dropping.
     """
-    p = pages.withColumn(
-        "host",
-        F.lower(
-            F.regexp_extract(
-                F.col(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1
-            )
-        ),
-    )
-    labels = F.split(F.col("host"), r"\.")
-    p = p.withColumn(
-        "reg_domain",
-        F.array_join(
-            F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2),
-            ".",
-        ),
-    )
+    p = with_url_host(pages, url=url)
     bw = F.lit(False)
     for w in banned_words:
         bw = bw | F.lower(F.col(url)).contains(w.lower())
@@ -511,4 +519,46 @@ def url_blocklist_filter(
         blocked_host.alias("blocked_host"),
         bw.alias("blocked_word"),
         (~(blocked_host | bw)).alias("kept"),
+    )
+
+
+def domain_rollup(pages: DataFrame, domain: str = "reg_domain", text: str = "text") -> DataFrame:
+    """Host-level corpus statistics (RefinedWeb §3.1 / FineWeb practice:
+    low-quality and duplicate-heavy DOMAINS get blocked wholesale, not
+    doc-by-doc): per registered domain, the document count, total
+    whitespace-token volume, exact-duplicate burden (docs minus distinct
+    normalized fingerprints), and mean heuristic quality.
+
+    Exactness: the per-doc quality score (textstats.quality_col, 6-dp)
+    is integer-scaled to 1e-6 units BEFORE the sum so the aggregate is
+    order-free exact integer arithmetic; the mean divides once at the
+    end (identical double op in the DuckDB oracle).
+
+    Plan shape: every per-doc signal is a map-side expression over the
+    scan; the rollup is ONE logical groupBy(domain) — Spark plans the
+    single distinct agg as the standard two-phase (domain, fingerprint)
+    partial then (domain) final, both with map-side partial aggregation,
+    so the shuffle carries (domain, md5, two bigints) per doc, never
+    text. Domains are ~10^7 keys at web scale with heavy hitters
+    (blogspot/wordpress); AQE skew handling applies since the partials
+    shrink each mapper's output to its distinct keys first.
+
+    Returns (reg_domain, n_docs, total_tokens, n_dup_docs, mean_quality).
+    """
+    from don_crawler_spark.operators.textstats import quality_col
+
+    norm = F.regexp_replace(F.lower(F.col(text)), r"\s+", " ")
+    per_doc = pages.select(
+        F.col(domain).alias("reg_domain"),
+        F.size(tokens_col(text)).cast("long").alias("n_toks"),
+        F.md5(F.trim(norm)).alias("fp"),
+        F.round(quality_col(text) * F.lit(1e6), 0).cast("bigint").alias("q6"),
+    )
+    return per_doc.groupBy("reg_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_dup_docs"),
+        F.round(
+            F.sum("q6").cast("double") / F.count("*") / F.lit(1e6), 6
+        ).alias("mean_quality"),
     )

@@ -56,18 +56,20 @@ def subword_token_count(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length/punctuation/stopword heuristics -> [0, 1] score.
+def quality_col(text: str = "text"):
+    """The [0, 1] heuristic quality score as a bare Column, 6-dp rounded —
+    shared by quality_score and the per-domain rollup (hygiene.domain_rollup)
+    so the two cannot drift.
 
     score = 0.4 * saturating length ratio (n_tokens / 100)
           + 0.3 * (1 - punctuation char ratio)
           + 0.3 * stopword hit ratio (capped at 3x expected 5%)
     All doubles with identical formulas in the DuckDB oracle.
     """
-    toks = tokens_col()
+    toks = tokens_col(text)
     n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    n_punct = n_chars - F.length(F.regexp_replace("text", r"[.,;:!?]", ""))
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
     n_stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
     score = (
         F.lit(0.4) * F.least(F.lit(1.0), n_tokens / F.lit(100.0))
@@ -75,11 +77,17 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + F.lit(0.3)
         * F.least(F.lit(1.0), n_stop / F.greatest(n_tokens, F.lit(1)) / F.lit(0.15))
     )
+    return F.round(score, 6)
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/punctuation/stopword heuristics -> [0, 1] score (see
+    quality_col for the formula)."""
     return docs.select(
         "doc_id",
         F.col("n_chars").alias("n_chars"),
-        n_tokens.alias("n_tokens"),
-        F.round(score, 6).alias("quality"),
+        F.size(tokens_col()).alias("n_tokens"),
+        quality_col().alias("quality"),
     )
 
 

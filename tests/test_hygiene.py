@@ -537,3 +537,58 @@ def test_normalize_is_exchange_free(spark) -> None:
 
 def test_accent_map_lengths_match() -> None:
     assert len(HG.ACCENT_SRC) == len(HG.ACCENT_DST)
+
+
+# --- domain quality rollup ------------------------------------------------------
+
+
+def test_domain_rollup_semantics(spark) -> None:
+    pages = spark.createDataFrame(
+        [
+            # two docs on a.com, one an exact dup (modulo whitespace)
+            (1, "the quick fox", "https://x.a.com/1"),
+            (2, "the  quick   fox", "https://y.a.com/2"),
+            # one doc on b.org
+            (3, "words of a kind", "https://b.org/3"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out = {
+        r["reg_domain"]: r
+        for r in HG.domain_rollup(HG.with_url_host(pages)).collect()
+    }
+    assert set(out) == {"a.com", "b.org"}
+    a = out["a.com"]
+    assert a["n_docs"] == 2 and a["total_tokens"] == 6
+    assert a["n_dup_docs"] == 1  # whitespace-normalized fingerprints collide
+    b = out["b.org"]
+    assert b["n_docs"] == 1 and b["n_dup_docs"] == 0 and b["total_tokens"] == 4
+    # mean quality equals the 6-dp per-doc score when the group is uniform
+    from don_crawler_spark.operators.textstats import quality_score
+
+    q3 = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(
+            pages.withColumn("n_chars", F.length("text"))
+        ).collect()
+    }
+    assert abs(b["mean_quality"] - q3[3]) < 1e-9
+
+
+def test_domain_rollup_plan_single_rollup_no_text_shuffle(spark) -> None:
+    """Per-doc signals are map-side; the only exchanges are the standard
+    two-phase distinct agg on (domain, fp) then (domain) — and no
+    exchange carries the text column (signals shrink to md5+bigints
+    before any shuffle)."""
+    pages = spark.createDataFrame(
+        [(1, "t t t", "https://a.b/x")], "doc_id long, text string, url string"
+    )
+    plan = _plan(HG.domain_rollup(HG.with_url_host(pages)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_exchanges <= 2
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
