@@ -1594,6 +1594,52 @@ def doc_shuffle(spark, sf_dir):
 
 
 @_q(
+    "dsir_importance",
+    # DSIR (Xie et al. 2023) hashed-ngram importance weighting: unigram +
+    # bigram features md5-hashed into 256 buckets, Laplace-smoothed
+    # target-vs-raw log-likelihood ratios integer-scaled to 1e-9 per
+    # bucket BEFORE the per-doc sum (order-free exact arithmetic), top-k
+    # on the exact integer weight with doc_id ties
+    f"""WITH toks AS (
+  SELECT doc_id, source, {SQL_TOKENS} AS t FROM documents),
+feats AS (
+  SELECT doc_id, source, unnest(t) AS feat FROM toks
+  UNION ALL
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+           AS feat
+  FROM toks WHERE len(t) >= 2),
+fb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(feat), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM feats),
+raw AS (SELECT bucket, COUNT(*) AS cr FROM fb GROUP BY bucket),
+tgt AS (SELECT bucket, COUNT(*) AS ct FROM fb
+        WHERE source IN ('src0', 'src1') GROUP BY bucket),
+tot AS (
+  SELECT COUNT(*) AS tr,
+         SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS tt
+  FROM fb),
+llr AS (
+  SELECT r.bucket,
+         CAST(ROUND(1000000000.0 * ln(
+           ((COALESCE(t.ct, 0) + 1.0) * CAST(tr + 256 AS DOUBLE))
+           / (CAST(tt + 256 AS DOUBLE) * (r.cr + 1.0)))) AS BIGINT) AS llr_i
+  FROM raw r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot),
+acc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats, SUM(llr_i) AS a
+  FROM fb JOIN llr USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_feats, ROUND(a / 1000000000.0, 6) AS log_ratio
+FROM acc ORDER BY a DESC, doc_id LIMIT 100""",
+)
+def dsir_q(spark, sf_dir):
+    """DSIR importance-resampling selection (operators/pipeline.py
+    dsir_importance): B-row broadcast LLR dim, one corpus shuffle on
+    8-byte doc keys, TakeOrdered top-k."""
+    return PL.dsir_importance(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "retrieval_bm25_topk",
     # BM25 (+1-idf Lucene variant) over a fixed query-term set; per-term
     # contributions integer-scaled (round(w*1e9)) BEFORE the per-doc sum so

@@ -365,3 +365,102 @@ def sliding_chunks(
         F.size(chunk).alias("n_chunk_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     )
+
+
+DSIR_BUCKETS = 256  # hashed feature buckets (Xie et al. use 10k at web scale)
+DSIR_TARGET_SOURCES = ("src0", "src1")  # stand-in high-quality target domain
+DSIR_TOPK = 100  # selected docs
+
+
+def dsir_importance(
+    docs: DataFrame,
+    buckets: int = DSIR_BUCKETS,
+    target_sources: tuple[str, ...] = DSIR_TARGET_SOURCES,
+    k: int = DSIR_TOPK,
+) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much its hashed n-gram profile looks like a TARGET domain
+    rather than the raw corpus, then keep the top-k. The standard
+    domain-targeted data-selection step between crawling and training.
+
+    Features are word unigrams + bigrams hashed into ``buckets`` buckets
+    (md5-prefix mod B — deterministic and byte-identical in DuckDB).
+    Bucket distributions are Laplace-smoothed:
+
+        p_hat(f | D) = (cnt_D[f] + 1) / (tot_D + B)
+
+    and a document's weight is the multinomial log-likelihood ratio
+    sum_f cnt_doc[f] * (ln p_t[f] - ln p_r[f]). Each bucket's log-ratio
+    is integer-scaled to 1e-9 BEFORE any per-doc accumulation (the same
+    fixed-point idiom as textstats.token_entropy), so the per-doc sum is
+    exact integer arithmetic and the DuckDB oracle replays it
+    bit-for-bit regardless of summation order. Selection is a
+    deterministic top-k on the exact integer weight (production DSIR
+    adds Gumbel noise to resample; a hash-seeded Gumbel drops in via
+    sample_uniform_col without changing the plan shape).
+
+    Plan shape / scale: the two bucket distributions are B-row
+    aggregates (8-byte keys, map-side partial agg); the log-ratio dim is
+    B rows and BROADCASTs onto the exploded feature stream, so the only
+    corpus-sized shuffle is the per-doc weight sum — (doc_id, bigint)
+    pairs after map-side partial aggregation — followed by a
+    TakeOrderedAndProject(k). At 100 TB the target/raw distributions are
+    precomputed once per corpus snapshot and loaded as a dim (the same
+    artifact pattern as dedup_incremental's signature tables); nothing
+    here is all-pairs or driver-side.
+    """
+    toks = tokens_col()
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, _grams(toks, 2))).alias("feat"),
+    )
+    fb = feats.select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("bigint"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    is_target = F.col("source").isin(*target_sources)
+    raw = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        fb.filter(is_target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = fb.agg(
+        F.count(F.lit(1)).alias("tr"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("tt"),
+    )
+    b = F.lit(buckets)
+    num = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) * (
+        F.col("tr") + b
+    ).cast("double")
+    den = (F.col("tt") + b).cast("double") * (F.col("cr") + F.lit(1.0))
+    llr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(F.lit(1000000000.0) * F.log(num / den))
+            .cast("bigint")
+            .alias("llr_i"),
+        )
+    )
+    acc = (
+        fb.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nf"), F.sum("llr_i").alias("a"))
+    )
+    return (
+        acc.orderBy(F.desc("a"), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            F.col("nf").cast("int").alias("n_feats"),
+            F.round(F.col("a") / 1000000000.0, 6).alias("log_ratio"),
+        )
+    )

@@ -200,3 +200,75 @@ def test_token_budget_plan_broadcasts_rates(spark) -> None:
     plan = _plan(PL.sample_token_budget(load(spark, SF, "documents", respread=False)))
     assert "BroadcastHashJoin" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dsir_importance_matches_independent_replay(spark) -> None:
+    """From-scratch hashlib/math replay of the DSIR weighting: hashed
+    unigram+bigram bucket counts, Laplace-smoothed LLR per bucket
+    (integer-scaled half-up, the engine's fixed-point idiom), exact
+    integer per-doc sums, top-k by (weight desc, doc_id)."""
+    import math
+
+    docs = load(spark, SF, "documents", respread=False)
+    rows = docs.select("doc_id", "source", "text").collect()
+
+    def half_up(x: float) -> int:
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    B = PL.DSIR_BUCKETS
+    doc_buckets: dict[int, list[int]] = {}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    tr = tt = 0
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        feats = toks + [
+            toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+        ]
+        is_t = r["source"] in PL.DSIR_TARGET_SOURCES
+        bl = doc_buckets.setdefault(r["doc_id"], [])
+        for f in feats:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % B
+            bl.append(b)
+            cr[b] = cr.get(b, 0) + 1
+            tr += 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+                tt += 1
+    llr_i = {
+        b: half_up(
+            1000000000.0
+            * math.log(
+                ((ct.get(b, 0) + 1.0) * float(tr + B))
+                / (float(tt + B) * (cr[b] + 1.0))
+            )
+        )
+        for b in cr
+    }
+    scored = sorted(
+        (
+            (-sum(llr_i[b] for b in bl), doc_id, len(bl))
+            for doc_id, bl in doc_buckets.items()
+            if bl
+        ),
+    )[: PL.DSIR_TOPK]
+    want = {
+        doc_id: (nf, round(-neg_a / 1000000000.0, 6))
+        for neg_a, doc_id, nf in scored
+    }
+    got = {
+        r["doc_id"]: (r["n_feats"], r["log_ratio"])
+        for r in PL.dsir_importance(docs).collect()
+    }
+    assert got == want
+
+
+def test_dsir_plan_broadcasts_llr_dim(spark) -> None:
+    # the 256-row LLR dim must come back onto the feature stream via a
+    # broadcast; selection is a TakeOrdered top-k, never a global sort;
+    # everything is native expressions (no Python workers)
+    plan = _plan(PL.dsir_importance(load(spark, SF, "documents", respread=False)))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "EvalPython" not in plan
