@@ -1594,6 +1594,35 @@ def doc_shuffle(spark, sf_dir):
 
 
 @_q(
+    "sample_repeat_epochs",
+    # fractional-epoch materialization (Muennighoff et al. 2023 mixing):
+    # copies = pm//1000 full epochs + 1 extra iff u32*1000 <
+    # (pm%1000)*2^32 — exact integer arithmetic, no float fraction; one
+    # output row per (doc, epoch)
+    """WITH base AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u32,
+         CASE source WHEN 'src0' THEN 2300 WHEN 'src1' THEN 1500
+                     WHEN 'src2' THEN 400 ELSE 1000 END AS pm
+  FROM documents),
+c AS (
+  SELECT doc_id, source,
+         CAST(pm // 1000
+              + CASE WHEN u32 * 1000 < (pm % 1000) * 4294967296
+                     THEN 1 ELSE 0 END AS INT) AS n_copies
+  FROM base)
+SELECT doc_id, source, n_copies,
+       CAST(unnest(range(1, n_copies + 1)) AS INT) AS epoch
+FROM c""",
+)
+def repeat_epochs_q(spark, sf_dir):
+    """Fractional-epoch corpus materialization (operators/pipeline.py
+    repeat_epochs): map-side explode, zero shuffles."""
+    return PL.repeat_epochs(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "dsir_importance",
     # DSIR (Xie et al. 2023) hashed-ngram importance weighting: unigram +
     # bigram features md5-hashed into 256 buckets, Laplace-smoothed

@@ -79,6 +79,7 @@ HEADLINE_QUERIES = [
     "chunk_sliding_window",
     "bpe_pair_topk",
     "sample_source_cap",
+    "dsir_importance",
     "doc_shuffle_shards",
     "graph_pagerank",
     "k4_bucketed_join",

@@ -464,3 +464,66 @@ def dsir_importance(
             F.round(F.col("a") / 1000000000.0, 6).alias("log_ratio"),
         )
     )
+
+
+# fractional epoch factors per source, in permille (2300 = 2.3 epochs).
+# Integer permille instead of a float factor so the partial-epoch draw is
+# exact integer arithmetic — no float-fraction roundoff to disagree on
+# between engines. Sources not listed run exactly one epoch.
+EPOCH_PERMILLE: dict[str, int] = {
+    "src0": 2300,  # upsample: 2 full copies + 30% chance of a third
+    "src1": 1500,
+    "src2": 400,  # sub-epoch: pure 40% downsample
+}
+EPOCH_DEFAULT_PERMILLE = 1000
+
+
+def repeat_epochs(
+    docs: DataFrame, permille: dict[str, int] | None = None
+) -> DataFrame:
+    """Fractional-epoch corpus materialization — the data-constrained
+    mixing step (Muennighoff et al. 2023, "Scaling Data-Constrained
+    Language Models"; Dolma / Pile source weights): a source assigned
+    e = permille/1000 epochs emits floor(e) full copies of every doc
+    plus one extra copy of a deterministic frac(e)-fraction of its docs.
+    e < 1 degenerates to a pure downsample, e = 1 to identity, so one
+    operator covers the whole mixing table.
+
+    The partial-epoch membership draw is exact integer arithmetic: doc u32
+    = first 32 md5 bits of doc_id, extra copy iff u32 * 1000 <
+    frac_permille * 2^32 — both sides bigint, no float fraction, so
+    reruns and the DuckDB oracle pick identical survivors. Copy index
+    ``epoch`` (1-based) is emitted so a downstream shuffle
+    (shuffle_shards keyed on (doc_id, epoch)) spreads repeats across
+    training order instead of adjacent.
+
+    Plan shape / scale: pure map-side project -> explode(sequence) — ZERO
+    shuffles, no window, no Python; output is bounded by ceil(e) rows per
+    doc. The ``sequence(1, copies)`` descending trap is guarded: rows with
+    copies = 0 are filtered BEFORE the explode.
+    """
+    permille = EPOCH_PERMILLE if permille is None else permille
+    pm = F.lit(EPOCH_DEFAULT_PERMILLE)
+    for src, p in sorted(permille.items()):
+        pm = F.when(F.col("source") == src, F.lit(p)).otherwise(pm)
+    u32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    copies = (
+        F.floor(F.col("pm") / 1000)
+        + F.when(
+            F.col("u32") * 1000 < F.pmod(F.col("pm"), F.lit(1000)) * F.lit(4294967296),
+            1,
+        ).otherwise(0)
+    ).cast("int")
+    base = (
+        docs.select("doc_id", "source", pm.alias("pm"), u32.alias("u32"))
+        .withColumn("copies", copies)
+        .filter(F.col("copies") >= 1)
+    )
+    return base.select(
+        "doc_id",
+        "source",
+        F.col("copies").cast("int").alias("n_copies"),
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
+    )

@@ -272,3 +272,47 @@ def test_dsir_plan_broadcasts_llr_dim(spark) -> None:
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert "EvalPython" not in plan
+
+
+def test_repeat_epochs_matches_independent_replay(spark) -> None:
+    docs = load(spark, SF, "documents")
+    rows = PL.repeat_epochs(docs).collect()
+
+    # independent from-scratch replay: integer-permille copies per doc
+    expect: dict[int, int] = {}
+    for r in docs.select("doc_id", "source").collect():
+        pm = PL.EPOCH_PERMILLE.get(r["source"], PL.EPOCH_DEFAULT_PERMILLE)
+        u32 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        copies = pm // 1000 + (1 if u32 * 1000 < (pm % 1000) * 2**32 else 0)
+        if copies >= 1:
+            expect[r["doc_id"]] = copies
+    got: dict[int, set] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["epoch"])
+        assert r["n_copies"] == expect[r["doc_id"]]
+    # epochs are exactly 1..n_copies per doc, no gaps or dups
+    assert {d: len(e) for d, e in got.items()} == expect
+    for d, e in got.items():
+        assert e == set(range(1, expect[d] + 1))
+
+    # the mixing table is actually exercised end-to-end: an upsampled
+    # source emits more rows than docs, the sub-epoch source fewer
+    src = {r["source"] for r in rows}
+    n_docs = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_out: dict[str, int] = {}
+    for r in rows:
+        n_out[r["source"]] = n_out.get(r["source"], 0) + 1
+    assert n_out["src0"] > n_docs["src0"]  # 2.3 epochs
+    if "src2" in src:
+        assert n_out["src2"] < n_docs["src2"]  # 0.4 epochs
+    assert n_out["src3"] == n_docs["src3"]  # default 1.0 = identity
+
+
+def test_repeat_epochs_plan_is_map_side_only(spark) -> None:
+    # project -> filter -> explode(sequence), zero shuffles, no Python
+    plan = _plan(PL.repeat_epochs(load(spark, SF, "documents", respread=False)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
