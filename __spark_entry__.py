@@ -1265,6 +1265,52 @@ def dedup_embedding_clusters(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_semantic",
+    # SemDeDup (Abbas et al. 2023): seed-centroid assignment (vec_id <
+    # 16, same contract as ann_ivf_flat), within-cell near-dup pairs,
+    # keep-lowest-centroid-similarity dominance rule. cent_cos compares
+    # bit-identically across engines because both fold the dot product
+    # left-to-right in double.
+    """WITH c AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+ac AS (
+  SELECT e.vec_id, c.cell, e.embedding,
+         list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cc
+  FROM embeddings e, c),
+m AS (
+  SELECT vec_id, cell, cc AS cent_cos, embedding FROM (
+    SELECT ac.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY cc DESC, cell ASC) AS rn
+    FROM ac) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+        >= 0.35
+    AND (b.cent_cos < a.cent_cos
+         OR (b.cent_cos = a.cent_cos AND b.vec_id < a.vec_id)))
+SELECT m.vec_id, m.cell, ROUND(m.cent_cos, 6) AS cent_cos,
+       d.vec_id IS NULL AS keep
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: cluster-then-prune semantic dedup — the pair scan is
+    bounded per cell, never corpus-wide (operators/similarity.py
+    semantic_dedup). Differs from dedup_embedding_clusters (exact
+    all-pairs + connected components): this is the scale form, where
+    cross-cluster near-dups are deliberately out of contract."""
+    return SIM.semantic_dedup(
+        load(spark, sf_dir, "embeddings", respread=False),
+        n_centroids=16,
+        threshold=0.35,
+    )
+
+
 # --- similarity search -------------------------------------------------------
 
 

@@ -50,6 +50,7 @@ HEADLINE_QUERIES = [
     "dedup_minhash_clusters",
     "dedup_incremental",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf_flat",

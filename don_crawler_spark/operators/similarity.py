@@ -402,3 +402,90 @@ def ivf_topk(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): cluster the embedding
+    space, then prune near-duplicate pairs WITHIN each cluster only —
+    never across — so the pair scan is bounded by the largest cell, not
+    the corpus. Among semantic duplicates the member LEAST similar to its
+    centroid is kept (the paper's keep-low rule: edge points carry more
+    diversity than cluster cores).
+
+    Drop rule, exactly: x is dropped iff some same-cell neighbor y has
+    cos(x, y) >= threshold and (cent_cos(y), y_id) < (cent_cos(x), x_id)
+    lexicographically — a deterministic dominance rule (no cascade: a
+    kept survivor is one with no strictly-lower-ranked near-dup, which
+    can legitimately retain two mutually-dissimilar docs from one dup
+    chain). Centroids are the first ``n_centroids`` vectors by id — the
+    same deterministic seed-centroid contract as ivf_assign/ivf_topk
+    (production swaps in k-means means; plan shape identical).
+
+    Plan / scale: one broadcast of the centroid set + a per-vector top-1
+    window (shuffle on id) for assignment; ONE shuffle on cell for the
+    within-cell pair join; a final left anti-style join on id for the
+    verdict. The pair join is quadratic per cell — that is SemDeDup's own
+    contract (n_centroids grows with the corpus so cells stay bounded,
+    ~corpus/n_centroids members each). Returns one row per input vector:
+    (vec_id, cell, cent_cos, keep).
+    """
+    from pyspark.sql import Window
+
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cc"), F.asc("cell"))
+    members = (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cent))
+        .withColumn("cc", cosine_col(F.col(vec_col), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cell", F.col("cc").alias("cent_cos"), vec_col)
+    )
+    a = members.select(
+        F.col(id_col).alias("id_a"),
+        "cell",
+        F.col("cent_cos").alias("cc_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = members.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cell").alias("cell_b"),
+        F.col("cent_cos").alias("cc_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") != F.col("id_b")),
+        )
+        .filter(cosine_col(F.col("va"), F.col("vb")) >= threshold)
+        .filter(
+            (F.col("cc_b") < F.col("cc_a"))
+            | (
+                (F.col("cc_b") == F.col("cc_a"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        members.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.round("cent_cos", 6).alias("cent_cos"),
+            F.col("__dropped").isNull().alias("keep"),
+        )
+    )

@@ -444,3 +444,63 @@ def test_dedup_incremental_no_text_crosses_the_joins(spark) -> None:
 
     for m in re.finditer(r"Exchange [^\n]*", plan):
         assert "text" not in m.group(0), m.group(0)
+
+
+def test_semantic_dedup_matches_numpy_replay(spark, emb) -> None:
+    """Drop rule replayed from scratch in numpy: assignment = top-1 seed
+    centroid by cosine (tie -> lowest cell id), drop iff a same-cell
+    neighbor with cosine >= tau ranks strictly lower by (cent_cos, id)."""
+    import numpy as np
+
+    from don_crawler_spark.operators.similarity import semantic_dedup
+
+    tau, ncent = 0.35, 16
+    rows = semantic_dedup(emb, n_centroids=ncent, threshold=tau).collect()
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    vecs = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    vecs = vecs / np.sqrt((vecs * vecs).sum(axis=1))[:, None]
+    cent_rows = np.flatnonzero(ids < ncent)
+    cent_ids = ids[cent_rows]
+    order = np.argsort(cent_ids)
+    cent_ids, cent_rows = cent_ids[order], cent_rows[order]
+    sims = vecs @ vecs[cent_rows].T  # (n, n_cent), cols sorted by cell id
+    best = sims.argmax(axis=1)  # argmax takes first max -> lowest cell id
+    cell = {int(i): int(cent_ids[b]) for i, b in zip(ids, best)}
+    cc = {int(i): float(sims[r, best[r]]) for r, i in enumerate(ids)}
+
+    pair = vecs @ vecs.T
+    expect_keep = {}
+    for r, i in enumerate(ids):
+        i = int(i)
+        dropped = any(
+            int(j) != i
+            and cell[int(j)] == cell[i]
+            and pair[r, s] >= tau
+            and (cc[int(j)], int(j)) < (cc[i], i)
+            for s, j in enumerate(ids)
+        )
+        expect_keep[i] = not dropped
+
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert r["keep"] == expect_keep[r["vec_id"]], r
+        assert r["cell"] == cell[r["vec_id"]], r
+        assert abs(r["cent_cos"] - cc[r["vec_id"]]) < 1e-5, r
+    n_drop = sum(1 for r in rows if not r["keep"])
+    assert 0 < n_drop < len(rows)  # the threshold actually bites
+
+
+def test_semantic_dedup_plan_shape(spark, emb) -> None:
+    """Centroids broadcast; the pair join is a real equi-join on cell
+    (never a nested-loop cartesian); no Python in the DAG."""
+    from don_crawler_spark.operators.similarity import semantic_dedup
+
+    plan = semantic_dedup(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # the centroid cross join only
+    assert plan.count("CartesianProduct") == 0
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )  # cell-keyed pair join is an equi-join
+    assert "EvalPython" not in plan
