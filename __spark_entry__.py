@@ -1669,6 +1669,26 @@ def repeat_epochs_q(spark, sf_dir):
 
 
 @_q(
+    "sample_holdout_split",
+    # leakage-aware split: key = md5 of CONTENT (dups co-assign), exact
+    # integer-permille bands — val < 50‰, test < 100‰, else train
+    """SELECT doc_id, source,
+       CASE WHEN scaled < 50 * 4294967296 THEN 'val'
+            WHEN scaled < 100 * 4294967296 THEN 'test'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) * 1000
+               AS scaled
+      FROM documents)""",
+)
+def holdout_split_q(spark, sf_dir):
+    """Deterministic content-hash train/val/test split
+    (operators/pipeline.py holdout_split): map-side only, exact dups
+    always land on one side."""
+    return PL.holdout_split(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "dsir_importance",
     # DSIR (Xie et al. 2023) hashed-ngram importance weighting: unigram +
     # bigram features md5-hashed into 256 buckets, Laplace-smoothed

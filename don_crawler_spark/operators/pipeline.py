@@ -527,3 +527,51 @@ def repeat_epochs(
         F.col("copies").cast("int").alias("n_copies"),
         F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("epoch"),
     )
+
+
+# holdout split fractions in permille: (val, test); remainder is train.
+SPLIT_VAL_PERMILLE = 50
+SPLIT_TEST_PERMILLE = 50
+
+
+def holdout_split(
+    docs: DataFrame,
+    val_permille: int = SPLIT_VAL_PERMILLE,
+    test_permille: int = SPLIT_TEST_PERMILLE,
+) -> DataFrame:
+    """Leakage-aware deterministic train/val/test split. The split key is
+    a CONTENT hash (md5 of text), not the doc id, so byte-identical
+    duplicates always co-assign to one side — the standard guard against
+    eval contamination via dup leakage (the failure mode of naive
+    id-keyed splits; cf. Lee et al. 2021 §5, dup train/test overlap).
+    Near-dups need an upstream dedup pass (dedup_*); this operator only
+    guarantees the exact-dup invariant.
+
+    Same exact integer-permille arithmetic as repeat_epochs: u32 = first
+    32 md5 bits of text, val iff u32*1000 < val_pm * 2^32, test iff it
+    falls in the next test_pm band, else train — both sides bigint, no
+    float thresholds, so the DuckDB oracle and any rerun pick identical
+    membership.
+
+    Plan / scale: pure map-side projection — ZERO shuffles; split
+    fractions hold per-partition by hash uniformity, no global
+    coordination.
+    """
+    u32 = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    scaled = (u32 * 1000).alias("scaled")
+    v_hi = val_permille * 4294967296
+    t_hi = (val_permille + test_permille) * 4294967296
+    return docs.select(
+        "doc_id",
+        "source",
+        scaled,
+    ).select(
+        "doc_id",
+        "source",
+        F.when(F.col("scaled") < v_hi, F.lit("val"))
+        .when(F.col("scaled") < t_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

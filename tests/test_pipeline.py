@@ -316,3 +316,39 @@ def test_repeat_epochs_plan_is_map_side_only(spark) -> None:
     plan = _plan(PL.repeat_epochs(load(spark, SF, "documents", respread=False)))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_holdout_split_coassigns_exact_dups(spark) -> None:
+    """The split key is content, not id: injected byte-identical copies
+    (shifted doc_ids) must land on the same side as their originals."""
+    import __spark_entry__ as em
+
+    docs = em._docs_with_dups(spark, SF)
+    rows = PL.holdout_split(docs).collect()
+    by_id = {r["doc_id"]: r["split"] for r in rows}
+    n_pairs = 0
+    for did, split in by_id.items():
+        if did >= 1_000_000 and (did - 1_000_000) in by_id:
+            assert split == by_id[did - 1_000_000]
+            n_pairs += 1
+    assert n_pairs > 0  # the dup fixture actually exercised the invariant
+
+    # band arithmetic replayed from scratch
+    for r in docs.select("doc_id", "text").collect():
+        u32 = int(hashlib.md5(r["text"].encode()).hexdigest()[:8], 16)
+        want = (
+            "val" if u32 * 1000 < 50 * 2**32
+            else "test" if u32 * 1000 < 100 * 2**32
+            else "train"
+        )
+        assert by_id[r["doc_id"]] == want
+
+    # all three sides non-empty at this scale
+    sides = set(by_id.values())
+    assert sides == {"train", "val", "test"}
+
+
+def test_holdout_split_plan_is_map_side_only(spark) -> None:
+    plan = _plan(PL.holdout_split(load(spark, SF, "documents", respread=False)))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
