@@ -1493,6 +1493,33 @@ def text_fp(spark, sf_dir):
     return TS.fingerprint(load(spark, sf_dir, "documents"))
 
 
+@_q(
+    "text_winnow_sketch",
+    # Winnowing (Schleimer et al. 2003): word 3-gram md5-u32 hashes,
+    # window-4 minima, distinct. Short docs (< w grams but >= 1) emit
+    # one whole-array window; < k tokens emit nothing. DuckDB list
+    # slicing hs[i:i+w-1] is 1-based inclusive and truncates past the
+    # end, exactly like Spark's slice(hs, i, w).
+    f"""WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+             i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2]),
+           g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS hs
+  FROM documents)
+SELECT doc_id,
+       unnest(list_distinct(list_transform(
+         generate_series(1, greatest(len(hs) - 3, 1)),
+         i -> list_min(hs[i:i+3])))) AS fingerprint
+FROM h WHERE len(hs) >= 1""",
+)
+def text_winnow(spark, sf_dir):
+    """Winnowing fingerprint sketch (operators/textstats.py
+    winnow_sketch): guaranteed detection of >= w+k-1-token matches at
+    ~2/(w+1) sketch density; map-side only."""
+    return TS.winnow_sketch(load(spark, sf_dir, "documents"))
+
+
 # --- training-data pipeline ops (operators/pipeline.py) -----------------------
 
 
@@ -2300,7 +2327,7 @@ sig AS (
   FROM r)
 SELECT reg_domain,
        COUNT(*) AS n_docs,
-       SUM(n_toks) AS total_tokens,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
        COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs,
        ROUND(CAST(SUM(q6) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_quality
 FROM sig
@@ -2520,7 +2547,7 @@ hits AS (
   FROM tg JOIN eg USING (g) GROUP BY doc_id)
 SELECT d.doc_id,
        COALESCE(n, 0) AS n_shared_grams,
-       CAST(COALESCE(n, 0) > 0 AS INT) AS contaminated
+       (COALESCE(n, 0) > 0) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
 LEFT JOIN hits USING (doc_id)""",
 )

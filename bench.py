@@ -57,6 +57,7 @@ HEADLINE_QUERIES = [
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
+    "text_winnow_sketch",
     "text_repetition_stats",
     "doc_pack_sequences",
     "text_pii_scrub",

@@ -249,3 +249,58 @@ def token_entropy(docs: DataFrame) -> DataFrame:
         folded["distinct"].alias("n_distinct"),
         F.round(folded["acc"] / 1_000_000_000.0, 6).alias("token_entropy"),
     )
+
+
+WINNOW_K = 3  # k-gram width (word grams)
+WINNOW_W = 4  # winnowing window (selection guarantee: w + k - 1 tokens)
+
+
+def winnow_sketch(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing fingerprint sketch (Schleimer, Wilkerson & Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    selection scheme): hash every word k-gram, slide a w-wide window over
+    the hash sequence, select each window's minimum; the sketch is the
+    distinct selected hashes. Guarantee: any match of at least w + k - 1
+    consecutive tokens between two documents shares at least one sketch
+    fingerprint, while sketch density stays ~2/(w+1) of the grams — the
+    principled sparse alternative to keeping all shingles (dedup_*) or a
+    single rolling hash (text_fingerprint).
+
+    Gram hash = first 32 md5 bits as bigint (the cross-engine convention:
+    DuckDB replays md5 exactly; xxhash64 has no DuckDB counterpart).
+    Short docs: fewer grams than w still emit one window (the min of all
+    grams — the paper's contract that every non-empty doc has a sketch);
+    docs with fewer than k tokens emit nothing.
+
+    Plan / scale: pure map-side transform -> array_min over slices ->
+    array_distinct -> explode. ZERO shuffles; per-doc work is O(n_grams *
+    w) comparisons inside codegen'd HOFs.
+    """
+    toks = tokens_col()
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint"),
+    )
+    n_win = F.greatest(F.size(F.col("hs")) - (w - 1), F.lit(1))
+    mins = F.when(F.size(F.col("hs")) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, w)),
+        )
+    )
+    return (
+        docs.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )

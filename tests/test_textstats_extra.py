@@ -1,0 +1,81 @@
+"""Behavioral tests for the winnowing fingerprint sketch
+(operators/textstats.py winnow_sketch): the paper's detection guarantee
+on crafted documents, an independent from-scratch replay, and the
+map-side-only plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from don_crawler_spark.operators.textstats import WINNOW_K, WINNOW_W, winnow_sketch
+from don_crawler_spark.sources.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _replay(text: str, k: int, w: int) -> set[int]:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return set()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    n_win = max(len(hs) - w + 1, 1)
+    return {min(hs[i : i + w]) for i in range(n_win)}
+
+
+def test_winnow_matches_from_scratch_replay(spark) -> None:
+    docs = load(spark, SF, "documents")
+    rows = winnow_sketch(docs).collect()
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    expect = {
+        did: fp
+        for did, t in texts.items()
+        if (fp := _replay(t, WINNOW_K, WINNOW_W))
+    }
+    assert got == expect
+    # density sanity: the sketch is a real sparsification, not all grams
+    total_grams = sum(
+        max(len([t for t in t_.split() if t]) - WINNOW_K + 1, 0)
+        for t_ in texts.values()
+    )
+    assert 0 < len(rows) < total_grams
+
+
+def test_winnow_detection_guarantee(spark) -> None:
+    """Any shared run of >= w + k - 1 tokens must share a fingerprint
+    (Schleimer et al. 2003, the winnowing correctness property)."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w + k - 1 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four"),
+            (2, f"nine eight seven {shared} six"),
+            (3, "completely different words entirely here now"),
+            (4, "tiny doc"),  # < k tokens -> no sketch at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = winnow_sketch(docs).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+
+
+def test_winnow_plan_is_map_side_only(spark) -> None:
+    plan = (
+        winnow_sketch(load(spark, SF, "documents", respread=False))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
