@@ -1159,6 +1159,79 @@ def dedup_minhash_clusters(spark, sf_dir):
 
 
 @_q(
+    "dedup_cluster_representative",
+    # FineWeb-style keep policy: same minhash pair graph + reachability
+    # CTE as dedup_minhash_clusters, but the kept member is the
+    # highest-QUALITY doc per cluster (ties by id); singletons are their
+    # own cluster, always kept — one policy row per corpus doc
+    f"""WITH RECURSIVE sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM documents
+),
+sigs AS (
+  SELECT doc_id, b.band, MIN(md5(CAST(b.band AS VARCHAR) || ':' || shingle)) AS sig
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS band) b
+  GROUP BY doc_id, b.band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+       AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b),
+pairs AS (
+  SELECT c.doc_a, c.doc_b FROM cand c
+  JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE s.shared / (sa.n + sb.n - s.shared) >= 0.1),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.dst),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM reach GROUP BY src),
+q AS (
+  SELECT doc_id,
+         ROUND(
+           0.4 * LEAST(1.0, len({SQL_TOKENS}) / 100.0)
+           + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          / GREATEST(length(text), 1))
+           + 0.3 * LEAST(1.0,
+               len(list_filter({SQL_TOKENS},
+                   t -> list_contains(['the','a','of','and','to','in'], lower(t))))
+               / GREATEST(len({SQL_TOKENS}), 1) / 0.15), 6) AS quality
+  FROM documents),
+lab AS (
+  SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+  FROM q LEFT JOIN labels l ON q.doc_id = l.doc_id)
+SELECT doc_id, cluster_id, quality,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY quality DESC, doc_id ASC) = 1 AS keep
+FROM lab""",
+)
+def dedup_cluster_rep(spark, sf_dir):
+    """Quality-aware cluster representative selection (FineWeb keep
+    policy): highest-quality doc per near-dup cluster kept, singletons
+    always kept (operators/dedup.py dedup_cluster_representative)."""
+    return DD.dedup_cluster_representative(
+        load(spark, sf_dir, "documents"),
+        n=3,
+        bands=8,
+        verify_threshold=0.1,
+        persist_shingles=True,
+    )
+
+
+@_q(
     "dedup_simhash",
     # exact replay of the engine's md5-based simhash: token hash = first
     # 16 md5 hex chars as a big-endian u64, bit j extracted hex-digit-wise

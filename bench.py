@@ -48,6 +48,7 @@ HEADLINE_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
+    "dedup_cluster_representative",
     "dedup_incremental",
     "dedup_embedding_cosine",
     "dedup_semantic",

@@ -605,3 +605,55 @@ def dedup_incremental(
             F.coalesce("exact_match", "near_match").alias("match_id"),
         )
     )
+
+
+def dedup_cluster_representative(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 8,
+    verify_threshold: float = 0.1,
+    persist_shingles: bool = False,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Quality-aware cluster representative selection — the FineWeb /
+    RefinedWeb keep-policy refinement of minhash_dedup_clusters: instead
+    of keeping the min-id doc per near-dup cluster (an arbitrary
+    representative), keep the HIGHEST-QUALITY member (heuristic quality
+    score, ties by doc id). Singleton docs (no near-dup edges) are their
+    own cluster and always kept, so the output is one policy row per
+    corpus doc: (doc_id, cluster_id, quality, keep).
+
+    Plan / scale: pair generation + components come from
+    minhash_dedup_clusters unchanged (LSH-banded, never all-pairs); the
+    selection adds one map-side quality projection, a left join on
+    doc_id, and ONE window partitioned by cluster_id — near-dup clusters
+    are small by construction, so no window partition is corpus-scale
+    (singletons are size-1 partitions).
+    """
+    from pyspark.sql import Window
+
+    from don_crawler_spark.operators.textstats import quality_col
+
+    cc = minhash_dedup_clusters(
+        docs,
+        n=n,
+        bands=bands,
+        verify_threshold=verify_threshold,
+        persist_shingles=persist_shingles,
+        max_iters=max_iters,
+    )
+    q = docs.select("doc_id", quality_col().alias("quality"))
+    lab = q.join(cc.select("doc_id", "cluster_id"), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        "quality",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

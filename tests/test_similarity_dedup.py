@@ -504,3 +504,28 @@ def test_semantic_dedup_plan_shape(spark, emb) -> None:
         "BroadcastHashJoin" in plan
     )  # cell-keyed pair join is an equi-join
     assert "EvalPython" not in plan
+
+
+def test_cluster_representative_keeps_best_quality(spark) -> None:
+    """Policy semantics on crafted docs: within a near-dup cluster the
+    kept member is the highest-quality one (not the min id), singletons
+    are always kept, and exactly one doc is kept per cluster."""
+    from don_crawler_spark.operators.dedup import dedup_cluster_representative
+
+    # docs 1 and 2 are near-identical long docs; doc 2 ends with richer
+    # punctuation/stopword structure -> strictly higher heuristic quality
+    base = "the quick brown fox jumps over a lazy dog near the old river bank " * 6
+    docs = spark.createDataFrame(
+        [
+            (1, base + "plain tail words here"),
+            (2, base + "and the end, of it."),
+            (3, "entirely different content about unrelated topics only"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_cluster_representative(docs).collect()}
+    assert len(rows) == 3
+    assert rows[1]["cluster_id"] == rows[2]["cluster_id"] == 1
+    assert rows[3]["cluster_id"] == 3 and rows[3]["keep"]
+    assert rows[2]["quality"] > rows[1]["quality"]
+    assert rows[2]["keep"] and not rows[1]["keep"]  # best quality wins, not min id
