@@ -1567,6 +1567,24 @@ def text_fp(spark, sf_dir):
 
 
 @_q(
+    "corpus_cube_stats",
+    # full (lang x source) CUBE in one pass; GROUPING bitmask matches
+    # Spark's grouping_id (first dim = high bit). SUM cast to BIGINT
+    # (DuckDB SUM(BIGINT) -> HUGEINT -> float64 in pandas otherwise).
+    f"""SELECT lang, source,
+       CAST(GROUPING(lang, source) AS INT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS total_tokens
+FROM documents GROUP BY CUBE (lang, source)""",
+)
+def corpus_cube_q(spark, sf_dir):
+    """Dataset-card corpus report: (lang x source) CUBE — per-cell,
+    per-dim rollups and grand total in one Expand + one exchange
+    (operators/textstats.py corpus_cube_stats)."""
+    return TS.corpus_cube_stats(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "text_winnow_sketch",
     # Winnowing (Schleimer et al. 2003): word 3-gram md5-u32 hashes,
     # window-4 minima, distinct. Short docs (< w grams but >= 1) emit

@@ -59,6 +59,7 @@ HEADLINE_QUERIES = [
     "text_quality_score",
     "text_fingerprint",
     "text_winnow_sketch",
+    "corpus_cube_stats",
     "text_repetition_stats",
     "doc_pack_sequences",
     "text_pii_scrub",

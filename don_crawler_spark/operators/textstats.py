@@ -304,3 +304,28 @@ def winnow_sketch(
         docs.select("doc_id", hashes.alias("hs"))
         .select("doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
     )
+
+
+def corpus_cube_stats(docs: DataFrame) -> DataFrame:
+    """Multi-dimensional corpus report: doc counts and token volume over
+    the full (lang x source) CUBE — per cell, per language, per source,
+    and grand total in ONE pass (the dataset-card / mixing-report
+    query). ``gid`` is the grouping bitmask (Spark grouping_id; DuckDB
+    GROUPING — same convention, first listed dim = high bit)
+    disambiguating rolled-up NULLs from genuine NULL values.
+
+    Plan / scale: CUBE plans as Expand (4 rows per input row) feeding a
+    single hash aggregate — partial (map-side) aggregation collapses
+    each low-cardinality cell before the ONE shuffle, so the exchange
+    carries |lang| x |source| x 4 rows, not the corpus. The token-count
+    projection is map-side codegen.
+    """
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens_col())).alias("total_tokens"),
+        )
+        .select("lang", "source", "gid", "n_docs", "total_tokens")
+    )

@@ -79,3 +79,50 @@ def test_winnow_plan_is_map_side_only(spark) -> None:
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_cube_stats_cells_and_rollups(spark) -> None:
+    """CUBE semantics replayed from the base cells: every rollup level
+    is the exact sum of its children; gid identifies the level."""
+    from don_crawler_spark.operators.textstats import corpus_cube_stats
+
+    docs = load(spark, SF, "documents")
+    rows = corpus_cube_stats(docs).collect()
+    by_gid: dict[int, dict] = {0: {}, 1: {}, 2: {}, 3: {}}
+    for r in rows:
+        by_gid[r["gid"]][(r["lang"], r["source"])] = (
+            r["n_docs"], r["total_tokens"]
+        )
+    base = by_gid[0]
+    # gid=1: source rolled up -> per-lang sums over base cells
+    for (lang, src), (n, t) in by_gid[1].items():
+        assert src is None
+        cells = [v for (l, _), v in base.items() if l == lang]
+        assert n == sum(c[0] for c in cells) and t == sum(c[1] for c in cells)
+    # gid=2: lang rolled up
+    for (lang, src), (n, t) in by_gid[2].items():
+        assert lang is None
+        cells = [v for (_, s), v in base.items() if s == src]
+        assert n == sum(c[0] for c in cells) and t == sum(c[1] for c in cells)
+    # gid=3: grand total
+    [(k, (n, t))] = list(by_gid[3].items())
+    assert k == (None, None)
+    assert n == sum(c[0] for c in base.values())
+    assert t == sum(c[1] for c in base.values())
+    assert n == docs.count()
+
+
+def test_corpus_cube_plan_single_exchange(spark) -> None:
+    """Expand feeds ONE hash-aggregate pair: exactly one shuffle, with
+    partial aggregation below it; no Python."""
+    from don_crawler_spark.operators.textstats import corpus_cube_stats
+
+    plan = (
+        corpus_cube_stats(load(spark, SF, "documents", respread=False))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Expand" in plan
+    assert "EvalPython" not in plan
