@@ -83,6 +83,8 @@ HEADLINE_QUERIES = [
     "chunk_sliding_window",
     "bpe_pair_topk",
     "sample_source_cap",
+    "sample_repeat_epochs",
+    "sample_holdout_split",
     "dsir_importance",
     "doc_shuffle_shards",
     "graph_pagerank",
