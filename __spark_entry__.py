@@ -2965,6 +2965,158 @@ def mm_features(spark, sf_dir):
     )
 
 
+# --- source formats: WET records + robots.txt bodies (sources/warc.py,
+# --- functions/robots.py parse_robots_txt) ------------------------------------
+
+
+@_q(
+    "wet_record_roundtrip",
+    # Oracle = the identity the round-trip must satisfy: parsing a
+    # formatted WET record recovers the inputs, with Content-Length the
+    # UTF-8 BYTE length (DuckDB: octet_length over the encoded BLOB).
+    """SELECT doc_id,
+       'https://corpus.example/' || source || '/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       '2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         || 'T00:00:' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || 'Z'
+         AS warc_date,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+       text AS payload
+FROM documents""",
+)
+def wet_roundtrip_q(spark, sf_dir):
+    """WET source format round-trip: format each document as a WARC/1.0
+    WET conversion record (sources/warc.py format_wet_record), then
+    recover every field with the reader's pure-JVM parse expressions
+    (parse_wet_fields). Exercises the same codegen string kernels the
+    distributed file reader (read_wet, lineSep record splitting) uses;
+    the file-level path is pinned in tests/test_warc_robots.py."""
+    from don_crawler_spark.sources.warc import (
+        format_wet_record,
+        parse_wet_fields,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    uri = F.concat(
+        F.lit("https://corpus.example/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    date = F.concat(
+        F.lit("2026-01-"),
+        F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        F.lit("T00:00:"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    rec = docs.select(
+        "doc_id", format_wet_record(uri, date, F.col("text")).alias("rec")
+    )
+    return rec.select("doc_id", *parse_wet_fields(F.col("rec"))).drop(
+        "warc_type"
+    )
+
+
+@_q(
+    "robots_txt_parse",
+    # Expected rule set computed directly: the parser must recover the
+    # base rules from the star group (badbot group ignored), and for
+    # md5-selected hosts the exact-UA doncrawler group REPLACES the star
+    # group (same base rules + the /crawler-only/ allow).
+    """WITH n AS (
+  SELECT regexp_replace(lower(n_name), '[^a-z]', '', 'g') || '.example' AS host,
+         n_nationkey AS k
+  FROM nation),
+rules AS (
+  SELECT host, '/' AS path_prefix, TRUE AS allow FROM n
+  UNION ALL
+  SELECT host, '/org' || CAST(k AS VARCHAR) || '/', FALSE FROM n
+  UNION ALL
+  SELECT host, '/stage/', FALSE FROM n WHERE k % 2 = 0),
+spec AS (
+  SELECT host FROM n
+  WHERE CAST(('0x' || substr(md5(host), 1, 8)) AS BIGINT) % 3 = 0)
+SELECT host, path_prefix, allow FROM rules
+UNION
+SELECT host, '/crawler-only/' AS path_prefix, TRUE AS allow FROM spec""",
+)
+def robots_txt_parse_q(spark, sf_dir):
+    """robots.txt TEXT parser (functions/robots.py parse_robots_txt):
+    deterministic per-host robots.txt bodies are rendered from
+    nation-derived rules — banner comment, a badbot group that must be
+    ignored, the ``*`` group, and (for md5-selected hosts) a
+    case-varied ``User-Agent: DonCrawler`` group that must replace the
+    star group — then parsed back relationally (posexplode + per-host
+    window grouping, no Python)."""
+    from don_crawler_spark.functions.robots import parse_robots_txt
+
+    n = load(spark, sf_dir, "nation").select(
+        F.concat(
+            F.regexp_replace(F.lower("n_name"), "[^a-z]", ""),
+            F.lit(".example"),
+        ).alias("host"),
+        F.col("n_nationkey").alias("k"),
+    )
+    rules = (
+        n.select("host", F.lit("/").alias("path_prefix"), F.lit(True).alias("allow"))
+        .unionByName(
+            n.select(
+                "host",
+                F.concat(
+                    F.lit("/org"), F.col("k").cast("string"), F.lit("/")
+                ).alias("path_prefix"),
+                F.lit(False).alias("allow"),
+            )
+        )
+        .unionByName(
+            n.filter(F.col("k") % 2 == 0).select(
+                "host",
+                F.lit("/stage/").alias("path_prefix"),
+                F.lit(False).alias("allow"),
+            )
+        )
+    )
+    line = F.concat(
+        F.when(F.col("allow"), F.lit("Allow: ")).otherwise(F.lit("Disallow: ")),
+        F.col("path_prefix"),
+    )
+    body = rules.groupBy("host").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("path_prefix", "allow", line.alias("line"))
+                    )
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("body")
+    )
+    spec = (
+        F.conv(F.substring(F.md5("host"), 1, 8), 16, 10).cast("bigint") % 3
+        == 0
+    )
+    texts = body.select(
+        "host",
+        F.concat(
+            F.lit("# synthetic robots fixture\nUser-agent: badbot\nDisallow: /\n\n"),
+            F.lit("User-agent: *\n"),
+            F.col("body"),
+            F.when(
+                spec,
+                F.concat(
+                    F.lit("\n\nUser-Agent: DonCrawler\n"),
+                    F.col("body"),
+                    F.lit("\nAllow: /crawler-only/"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return parse_robots_txt(texts, user_agent="doncrawler")
+
+
 # --- the crawl itself (rows-only: corpus is engine-generated) -----------------
 
 

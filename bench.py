@@ -90,6 +90,8 @@ HEADLINE_QUERIES = [
     "graph_pagerank",
     "k4_bucketed_join",
     "multimodal_features",
+    "wet_record_roundtrip",
+    "robots_txt_parse",
 ]
 
 

@@ -20,7 +20,7 @@ executor memory after the host-equi join prunes).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,104 @@ def robots_allowed_py(
             best_len = len(prefix)
             best_allow = allow
     return best_allow
+
+
+def parse_robots_txt(
+    df: DataFrame,
+    user_agent: str = "doncrawler",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse RAW robots.txt bodies into the ``robots(host, path_prefix,
+    allow)`` rules table the frontier filter consumes — the ingest step
+    between fetching ``/robots.txt`` and :func:`apply_robots_filter`.
+
+    Grammar (RFC 9309, expressed relationally — no per-row Python):
+
+      * lines split on ``\\n``; ``\\r`` stripped (CRLF files), ``#``
+        comments removed, fields case-insensitive.
+      * a GROUP is one or more consecutive ``User-agent`` lines followed
+        by rule lines; a later ``User-agent`` line after rules starts a
+        new group. Group membership is a running sum of group-starts
+        over a per-host window (robots bodies are KBs, so the window is
+        per-host-local; hosts parallelize).
+      * group selection: groups naming ``user_agent`` exactly
+        (case-insensitive product token) win; if none exists on a host,
+        the ``*`` groups apply; rules from ALL selected groups merge
+        (RFC 9309 §2.2.1). Longest-substring UA matching is simplified
+        to exact-token-else-star, documented here.
+      * ``Allow``/``Disallow`` with an empty value match nothing and are
+        dropped (RFC 9309 §2.2.2); rules before any group are ignored.
+      * the downstream matcher is prefix-only, so a trailing ``*`` is
+        stripped (prefix-equivalent) and rules still containing ``*`` or
+        ``$`` wildcards are dropped rather than silently mis-matched.
+
+    Output is distinct ``(host, path_prefix, allow)`` — feed straight
+    into :func:`compile_rules`.
+    """
+    ua = user_agent.lower()
+    line = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "\r", ""), "#.*", ""
+    )
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        )
+        .select("host", "pos", line.alias("line"))
+        .filter(F.instr("line", ":") > 0)
+        .select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.substring_index("line", ":", 1))).alias("field"),
+            F.trim(
+                F.col("line").substr(
+                    F.instr(F.col("line"), ":") + 1, F.length("line")
+                )
+            ).alias("val"),
+        )
+        .filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("field") == "user-agent"
+    new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
+    lines = lines.withColumn(
+        "gid", F.sum(new_group.cast("long")).over(w)
+    ).filter(F.col("gid") > 0)
+
+    groups = (
+        lines.filter(is_ua)
+        .groupBy("host", "gid")
+        .agg(F.collect_set(F.lower("val")).alias("uas"))
+        .select(
+            "host",
+            "gid",
+            F.array_contains("uas", ua).alias("has_ua"),
+            F.array_contains("uas", "*").alias("has_star"),
+        )
+    )
+    host_cover = groups.groupBy("host").agg(
+        F.max("has_ua").alias("host_has_ua")
+    )
+    selected = (
+        groups.join(host_cover, "host")
+        .filter(
+            F.col("has_ua") | (~F.col("host_has_ua") & F.col("has_star"))
+        )
+        .select("host", "gid")
+    )
+    prefix = F.regexp_replace(F.col("val"), r"\*$", "")
+    return (
+        lines.filter(~is_ua & (F.col("val") != ""))
+        .join(selected, ["host", "gid"])
+        .select(
+            "host",
+            prefix.alias("path_prefix"),
+            (F.col("field") == "allow").alias("allow"),
+        )
+        .filter(~F.col("path_prefix").rlike(r"[*$]"))
+        .distinct()
+    )
 
 
 def compile_rules(robots: DataFrame) -> DataFrame:
@@ -68,12 +166,15 @@ def apply_robots_filter(
     """
     compiled = compile_rules(robots)
     joined = frontier.join(F.broadcast(compiled), "host", "left")
-    first_match = F.element_at(
+    # try_element_at, not element_at: a host can HAVE rules yet match
+    # none of them (empty filtered array -> null, i.e. allowed), and
+    # ANSI element_at throws on index 1 of an empty array
+    first_match = F.try_element_at(
         F.filter(
             F.col("rules"),
             lambda r: F.col("path").startswith(r["path_prefix"]),
         ),
-        1,
+        F.lit(1),
     )
     resolved = joined.withColumn(
         "__allowed",

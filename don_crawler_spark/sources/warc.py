@@ -1,0 +1,122 @@
+"""WET/WARC source: read Common-Crawl-style extracted-text records.
+
+The production corpus behind the crawl (BASELINE input_hint: Common-
+Crawl-style web pages) lands as WARC/WET files, not parquet. This
+module adds that source format: a distributed WET reader built on the
+text file source with a record-boundary ``lineSep``, plus pure-JVM
+record parse/format expressions shared with the registered round-trip
+query.
+
+Format (ISO 28500 / the public WARC 1.0 spec): each record is::
+
+    WARC/1.0\r\n
+    <Header-Name>: <value>\r\n ...
+    \r\n
+    <Content-Length bytes of payload>\r\n
+    \r\n
+
+Scale notes:
+
+- Splitting on ``lineSep="WARC/1.0\\r\\n"`` happens inside the text
+  file source scan — records parallelize across file splits like any
+  other scan, no shuffle, and header/payload extraction is whole-stage
+  codegen string expressions (zero Python, zero UDFs).
+- Payload slicing honours ``Content-Length`` BYTE-wise
+  (``encode -> substring -> decode``), so multi-byte UTF-8 text
+  round-trips exactly; the trailing inter-record ``\\r\\n\\r\\n`` never
+  leaks into the payload.
+- Limitation (documented, inherent to separator-based splitting): a
+  payload that itself contains the ``WARC/1.0\\r\\n`` marker would
+  mis-split. WET *conversion* records carry whitespace-normalized
+  extracted text where the marker cannot occur; a byte-true reader for
+  arbitrary (binary) WARC payloads would stream records per-file with
+  ``mapPartitions`` over ``binaryFiles``, honouring Content-Length —
+  same parse expressions, different splitter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RECORD_MARKER = "WARC/1.0\r\n"
+
+#: columns produced by :func:`parse_wet_fields`
+WET_FIELDS = ["warc_type", "target_uri", "warc_date", "content_length", "payload"]
+
+
+def _header_block(seg: Column) -> Column:
+    # headers run up to the FIRST blank line; WET headers are ASCII so
+    # char offsets == byte offsets within the block
+    return F.substring_index(seg, "\r\n\r\n", 1)
+
+
+def parse_wet_fields(seg: Column) -> list[Column]:
+    """Parse one WET record segment (with or without the leading
+    ``WARC/1.0`` marker line) into typed columns. All expressions are
+    JVM-side regex/substring — codegen, no Python."""
+    hdr = _header_block(seg)
+
+    def _h(name: str) -> Column:
+        return F.regexp_extract(hdr, rf"(?mi)^{name}:\s*(\S+)", 1)
+
+    clen = _h("Content-Length").cast("long")
+    # payload = first Content-Length BYTES after the blank line
+    rest = seg.substr(F.length(hdr) + F.lit(5), F.length(seg))
+    payload = F.decode(
+        F.substring(F.encode(rest, "utf-8"), F.lit(1), clen), "utf-8"
+    )
+    return [
+        F.lower(_h("WARC-Type")).alias("warc_type"),
+        _h("WARC-Target-URI").alias("target_uri"),
+        _h("WARC-Date").alias("warc_date"),
+        clen.alias("content_length"),
+        payload.alias("payload"),
+    ]
+
+
+def format_wet_record(
+    target_uri: Column, warc_date: Column, text: Column
+) -> Column:
+    """Render one WET *conversion* record (marker line included).
+    ``Content-Length`` is the UTF-8 BYTE length of ``text`` — the
+    exact inverse of :func:`parse_wet_fields`."""
+    return F.concat(
+        F.lit(RECORD_MARKER),
+        F.lit("WARC-Type: conversion\r\nWARC-Target-URI: "),
+        target_uri,
+        F.lit("\r\nWARC-Date: "),
+        warc_date,
+        F.lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+        F.octet_length(text).cast("string"),
+        F.lit("\r\n\r\n"),
+        text,
+        F.lit("\r\n\r\n"),
+    )
+
+
+def read_wet(
+    spark: SparkSession, path: str, conversion_only: bool = True
+) -> DataFrame:
+    """Distributed WET reader: (warc_type, target_uri, warc_date,
+    content_length, payload), one row per record. ``conversion_only``
+    drops the per-file ``warcinfo`` preamble records."""
+    segs = spark.read.text(path, lineSep=RECORD_MARKER)
+    out = segs.filter(F.length("value") > 0).select(
+        *parse_wet_fields(F.col("value"))
+    )
+    if conversion_only:
+        out = out.filter(F.col("warc_type") == "conversion")
+    return out
+
+
+def write_wet(df: DataFrame, path: str) -> None:
+    """Write (target_uri, warc_date, text) rows as WET files. Each row
+    is a complete record (marker included); the text writer's newline
+    between rows lands after a record's terminating blank line and is
+    ignored by Content-Length-sliced readers."""
+    df.select(
+        format_wet_record(
+            F.col("target_uri"), F.col("warc_date"), F.col("text")
+        ).alias("value")
+    ).write.mode("overwrite").text(path)
