@@ -94,6 +94,42 @@ def test_write_then_read_wet(spark, tmp_path) -> None:
     assert joined.count() == 0
 
 
+def test_read_warc_binary(spark, tmp_path) -> None:
+    """Byte-true reader: binary payloads, including one that EMBEDS the
+    record marker (the adversarial case the lineSep fast path cannot
+    handle) and one with non-UTF8 bytes, recovered exactly."""
+    from don_crawler_spark.sources.warc import read_warc_binary
+
+    payloads = [
+        b"plain ascii",
+        b"evil WARC/1.0\r\n embedded marker",
+        bytes(range(256)),  # arbitrary binary (fake image)
+    ]
+    recs = []
+    for i, body in enumerate(payloads):
+        recs.append(
+            (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: https://ex.com/b{i}\r\n"
+                "WARC-Date: 2026-08-19T00:00:00Z\r\n"
+                "Content-Type: application/octet-stream\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode()
+            + body
+            + b"\r\n\r\n"
+        )
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "a.warc").write_bytes(b"".join(recs[:2]))
+    (d / "b.warc").write_bytes(recs[2])
+    rows = read_warc_binary(spark, str(d)).orderBy("target_uri").collect()
+    assert [bytes(r.payload) for r in rows] == payloads
+    assert [r.content_length for r in rows] == [len(p) for p in payloads]
+    assert {r.warc_type for r in rows} == {"response"}
+    assert rows[1].content_type == "application/octet-stream"
+
+
 # ---------------------------------------------------------------------------
 # robots.txt parser
 # ---------------------------------------------------------------------------
