@@ -52,6 +52,46 @@ def ingest_available(
     )
 
 
+def wet_pages_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
+    """Streaming source over raw WET drops — the same record-boundary
+    ``lineSep`` splitting and pure-JVM parse expressions as the batch
+    reader (sources/warc.py), lifted onto the text FILE STREAM source,
+    so Common-Crawl-style WET segments landing in object storage stream
+    straight into (url, warc_ts, text) page rows without a parquet
+    conversion hop. Exactly-once per file comes from the stream
+    checkpoint, like :func:`pages_stream`."""
+    from don_crawler_spark.sources.warc import RECORD_MARKER, parse_wet_fields
+
+    segs = spark.readStream.text(drop_dir, lineSep=RECORD_MARKER)
+    return (
+        segs.filter(F.length("value") > 0)
+        .select(*parse_wet_fields(F.col("value")))
+        .filter(F.col("warc_type") == "conversion")
+        .select(
+            F.col("target_uri").alias("url"),
+            F.to_timestamp("warc_date").alias("warc_ts"),
+            F.col("payload").alias("text"),
+        )
+    )
+
+
+def ingest_wet_available(
+    spark: SparkSession, drop_dir: str, target_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain currently-available WET drops into the canonical pages
+    dataset (availableNow, checkpointed — a crash/re-run never
+    re-ingests a file)."""
+    (
+        wet_pages_stream(spark, drop_dir)
+        .writeStream.format("parquet")
+        .option("path", target_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def capture_rate(pages: DataFrame, window: str = "1 hour") -> DataFrame:
     """Event-time capture-rate metric: pages per window of warc_ts, with a
     watermark so late-arriving captures (out-of-order WARC drops) still

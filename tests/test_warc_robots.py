@@ -94,6 +94,30 @@ def test_write_then_read_wet(spark, tmp_path) -> None:
     assert joined.count() == 0
 
 
+def test_wet_streaming_ingest(spark, tmp_path) -> None:
+    """WET drops -> streaming text source (record lineSep) -> pages
+    parquet, exactly-once per file across re-runs."""
+    from don_crawler_spark.streaming.ingest import ingest_wet_available
+
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    (drops / "d0.warc.wet").write_bytes(_wet_bytes())
+    target = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    ingest_wet_available(spark, str(drops), target, ckpt)
+    got = spark.read.parquet(target)
+    assert got.count() == 3  # warcinfo dropped
+    assert set(got.columns) == {"url", "warc_ts", "text"}
+    by_url = {r.url: r for r in got.collect()}
+    assert by_url["https://ex.com/p0"].text == _PAYLOADS[0]
+    assert by_url["https://ex.com/p1"].warc_ts is not None
+    # second drain with the same checkpoint: d0 is NOT re-ingested, the
+    # new drop is picked up
+    (drops / "d1.warc.wet").write_bytes(_wet_bytes())
+    ingest_wet_available(spark, str(drops), target, ckpt)
+    assert spark.read.parquet(target).count() == 6
+
+
 def test_read_warc_binary(spark, tmp_path) -> None:
     """Byte-true reader: binary payloads, including one that EMBEDS the
     record marker (the adversarial case the lineSep fast path cannot
