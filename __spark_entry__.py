@@ -3025,7 +3025,7 @@ def wet_roundtrip_q(spark, sf_dir):
     # md5-selected hosts the exact-UA doncrawler group REPLACES the star
     # group (same base rules + the /crawler-only/ allow).
     """WITH n AS (
-  SELECT regexp_replace(lower(n_name), '[^a-z]', '', 'g') || '.example' AS host,
+  SELECT regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g') || '.example' AS host,
          n_nationkey AS k
   FROM nation),
 rules AS (
@@ -3053,7 +3053,7 @@ def robots_txt_parse_q(spark, sf_dir):
 
     n = load(spark, sf_dir, "nation").select(
         F.concat(
-            F.regexp_replace(F.lower("n_name"), "[^a-z]", ""),
+            F.regexp_replace(F.lower("n_name"), "[^a-z0-9]", ""),
             F.lit(".example"),
         ).alias("host"),
         F.col("n_nationkey").alias("k"),
@@ -3115,6 +3115,76 @@ def robots_txt_parse_q(spark, sf_dir):
         ).alias("robots_txt"),
     )
     return parse_robots_txt(texts, user_agent="doncrawler")
+
+
+@_q(
+    "sitemap_parse",
+    # Expected rows computed closed-form: 3 page URLs per host (one
+    # lastmod-dated, one whitespace-padded, one entity-escaped) and,
+    # for k%4 hosts, 2 sitemap-INDEX entries.
+    """WITH n AS (
+  SELECT regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g') || '.example' AS host,
+         n_nationkey AS k
+  FROM nation)
+SELECT host, 'https://' || host || '/p0' AS loc,
+       '2026-02-01' AS lastmod, FALSE AS is_index FROM n
+UNION ALL
+SELECT host, 'https://' || host || '/p1', CAST(NULL AS VARCHAR), FALSE FROM n
+UNION ALL
+SELECT host, 'https://' || host || '/q?a=1&b=2', CAST(NULL AS VARCHAR), FALSE
+FROM n
+UNION ALL
+SELECT host, 'https://' || host || '/s1.xml', '2026-03-01', TRUE
+FROM n WHERE k % 4 = 0
+UNION ALL
+SELECT host, 'https://' || host || '/s2.xml', CAST(NULL AS VARCHAR), TRUE
+FROM n WHERE k % 4 = 0""",
+)
+def sitemap_parse_q(spark, sf_dir):
+    """sitemap.xml parser (sources/sitemaps.py parse_sitemaps):
+    deterministic nation-derived urlset documents (lastmod present and
+    absent, whitespace-padded loc, XML-entity-escaped query URL) plus
+    sitemap-INDEX documents for k%4 hosts, parsed relationally back to
+    (host, loc, lastmod, is_index) seed rows."""
+    from don_crawler_spark.sources.sitemaps import parse_sitemaps
+
+    n = load(spark, sf_dir, "nation").select(
+        F.concat(
+            F.regexp_replace(F.lower("n_name"), "[^a-z0-9]", ""),
+            F.lit(".example"),
+        ).alias("host"),
+        F.col("n_nationkey").alias("k"),
+    )
+    urlset = n.select(
+        "host",
+        F.concat(
+            F.lit(
+                '<?xml version="1.0" encoding="UTF-8"?>\n'
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+                "<url><loc>https://"
+            ),
+            F.col("host"),
+            F.lit("/p0</loc><lastmod>2026-02-01</lastmod></url>\n<url><loc>  https://"),
+            F.col("host"),
+            F.lit("/p1  </loc></url>\n<url><loc>https://"),
+            F.col("host"),
+            F.lit("/q?a=1&amp;b=2</loc></url>\n</urlset>"),
+        ).alias("xml"),
+    )
+    index = n.filter(F.col("k") % 4 == 0).select(
+        "host",
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://"),
+            F.col("host"),
+            F.lit(
+                "/s1.xml</loc><lastmod>2026-03-01</lastmod></sitemap>"
+                "<sitemap><loc>https://"
+            ),
+            F.col("host"),
+            F.lit("/s2.xml</loc></sitemap></sitemapindex>"),
+        ).alias("xml"),
+    )
+    return parse_sitemaps(urlset.unionByName(index))
 
 
 # --- the crawl itself (rows-only: corpus is engine-generated) -----------------

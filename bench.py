@@ -92,6 +92,7 @@ HEADLINE_QUERIES = [
     "multimodal_features",
     "wet_record_roundtrip",
     "robots_txt_parse",
+    "sitemap_parse",
 ]
 
 

@@ -1,0 +1,84 @@
+"""sitemap.xml parsing: the crawl's canonical seed-discovery format.
+
+Sitemaps (sitemaps.org protocol) are how hosts advertise their URL
+inventory to crawlers; robots.txt points at them via ``Sitemap:``
+lines. This module turns raw sitemap/sitemap-index XML bodies into
+frontier-seed rows, relationally (split + regexp expressions, whole-
+stage codegen, no Python and no XML library in the hot path — the
+protocol's fixed ``<url>/<sitemap>`` + ``<loc>/<lastmod>`` shape makes
+a full XML parser unnecessary and the regex form DuckDB-replayable).
+
+Scale: one map-side explode per document; sitemap files are capped at
+50k URLs by the protocol, so per-row fan-out is bounded. No shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_LOC = r"<loc>\s*([^<]*?)\s*</loc>"
+_LASTMOD = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five XML predefined entities; ``&amp;`` LAST so freed
+    ampersands never re-trigger earlier replacements."""
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&amp;", "&"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", xml_col: str = "xml"
+) -> DataFrame:
+    """(host, xml) -> one row per advertised URL: ``(host, loc,
+    lastmod, is_index)``. ``is_index`` marks sitemap-INDEX entries
+    (``loc`` then names another sitemap to fetch, not a page — the
+    frontier treats those as recursive seed fetches)."""
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    seg = F.explode(F.split(F.col(xml_col), "<url>|<sitemap>")).alias("seg")
+    loc = F.regexp_extract("seg", _LOC, 1)
+    lastmod = F.nullif(F.regexp_extract("seg", _LASTMOD, 1), F.lit(""))
+    return (
+        df.select(
+            F.col(host_col).alias("host"), is_index.alias("is_index"), seg
+        )
+        .filter(loc != "")
+        .select(
+            "host",
+            _xml_unescape(loc).alias("loc"),
+            lastmod.alias("lastmod"),
+            "is_index",
+        )
+    )
+
+
+def sitemap_urls_from_robots(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Extract ``Sitemap:`` lines from raw robots.txt bodies ->
+    ``(host, sitemap_url)``. Per RFC 9309 §2.3 these are group-
+    independent (valid anywhere in the file), so no group logic —
+    one explode + one case-insensitive match. The value keeps its own
+    colons (``https://``): only the FIRST colon splits field/value."""
+    line = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), "\r", ""), "#.*", ""
+    )
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select("host", line.alias("line"))
+    field = F.lower(F.trim(F.substring_index("line", ":", 1)))
+    value = F.trim(
+        F.col("line").substr(F.instr(F.col("line"), ":") + 1, F.length("line"))
+    )
+    return lines.filter((field == "sitemap") & (value != "")).select(
+        "host", value.alias("sitemap_url")
+    )

@@ -253,6 +253,57 @@ def test_parse_robots_txt_grammar(spark) -> None:
         assert _parse_robots_py(text, "doncrawler") == _EXPECTED[h], h
 
 
+def test_parse_sitemaps(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import parse_sitemaps
+
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        "<url><loc>https://a.com/x</loc><lastmod>2026-01-02</lastmod></url>\n"
+        "<url><loc>  https://a.com/y?p=1&amp;q=2  </loc></url>\n"
+        "<url><loc>https://a.com/amp&amp;lt;</loc></url>\n"
+        "</urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>"
+        "<lastmod>2026-03-01</lastmod></sitemap>"
+        "<sitemap><loc>https://b.com/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("a.com", urlset), ("b.com", index)], "host string, xml string"
+    )
+    rows = {(r.host, r.loc, r.lastmod, r.is_index) for r in parse_sitemaps(df).collect()}
+    assert rows == {
+        ("a.com", "https://a.com/x", "2026-01-02", False),
+        ("a.com", "https://a.com/y?p=1&q=2", None, False),  # trimmed + unescaped
+        ("a.com", "https://a.com/amp&lt;", None, False),  # &amp; decoded LAST
+        ("b.com", "https://b.com/s1.xml", "2026-03-01", True),
+        ("b.com", "https://b.com/s2.xml", None, True),
+    }
+
+
+def test_sitemap_urls_from_robots(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import sitemap_urls_from_robots
+
+    df = spark.createDataFrame(
+        [
+            (
+                "a.com",
+                "User-agent: *\nDisallow: /x/\n"
+                "Sitemap: https://a.com/sitemap.xml  # primary\n"
+                "SITEMAP: https://cdn.a.com/s2.xml\nSitemap:\n",
+            ),
+            ("b.com", "User-agent: *\nAllow: /\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url) for r in sitemap_urls_from_robots(df).collect()}
+    assert got == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://cdn.a.com/s2.xml"),
+    }
+
+
 def test_parse_feeds_filter(spark) -> None:
     """End-to-end: raw text -> rules -> longest-prefix frontier filter."""
     df = spark.createDataFrame(
