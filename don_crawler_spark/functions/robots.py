@@ -72,6 +72,60 @@ def parse_robots_txt(
     Output is distinct ``(host, path_prefix, allow)`` — feed straight
     into :func:`compile_rules`.
     """
+    sel = _selected_group_lines(df, user_agent, host_col, text_col)
+    prefix = F.regexp_replace(F.col("val"), r"\*$", "")
+    return (
+        sel.filter(
+            F.col("field").isin("allow", "disallow") & (F.col("val") != "")
+        )
+        .select(
+            "host",
+            prefix.alias("path_prefix"),
+            (F.col("field") == "allow").alias("allow"),
+        )
+        .filter(~F.col("path_prefix").rlike(r"[*$]"))
+        .distinct()
+    )
+
+
+def crawl_delays_from_robots(
+    df: DataFrame,
+    user_agent: str = "doncrawler",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Crawl-delay`` (the de-facto politeness extension,
+    group-scoped like Allow/Disallow) from raw robots.txt bodies ->
+    ``(host, crawl_delay_ms)``, the exact column the host_budgets
+    politeness dimension carries. Seconds may be fractional; invalid
+    values are ignored (try_cast); when several selected groups state a
+    delay, the MAX wins (the conservative, most-polite reading)."""
+    sel = _selected_group_lines(df, user_agent, host_col, text_col)
+    delay_s = F.expr("try_cast(val AS DOUBLE)")
+    return (
+        sel.filter((F.col("field") == "crawl-delay") & delay_s.isNotNull())
+        .groupBy("host")
+        .agg(
+            F.round(F.max(delay_s) * 1000)
+            .cast("bigint")
+            .alias("crawl_delay_ms")
+        )
+    )
+
+
+#: line records that participate in grouping — a non-UA record between
+#: two User-agent lines terminates the UA run (Google parser behavior)
+_GROUP_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
+
+
+def _selected_group_lines(
+    df: DataFrame, user_agent: str, host_col: str, text_col: str
+) -> DataFrame:
+    """Shared RFC 9309 group machinery: explode lines, classify,
+    assign group ids (runs of consecutive User-agent lines start
+    groups), pick the groups that apply to ``user_agent``
+    (exact-token-else-star), and return their non-UA lines as
+    ``(host, pos, field, val)``."""
     ua = user_agent.lower()
     line = F.regexp_replace(
         F.regexp_replace(F.col("raw"), "\r", ""), "#.*", ""
@@ -93,7 +147,7 @@ def parse_robots_txt(
                 )
             ).alias("val"),
         )
-        .filter(F.col("field").isin("user-agent", "allow", "disallow"))
+        .filter(F.col("field").isin(*_GROUP_FIELDS))
     )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("field") == "user-agent"
@@ -123,18 +177,7 @@ def parse_robots_txt(
         )
         .select("host", "gid")
     )
-    prefix = F.regexp_replace(F.col("val"), r"\*$", "")
-    return (
-        lines.filter(~is_ua & (F.col("val") != ""))
-        .join(selected, ["host", "gid"])
-        .select(
-            "host",
-            prefix.alias("path_prefix"),
-            (F.col("field") == "allow").alias("allow"),
-        )
-        .filter(~F.col("path_prefix").rlike(r"[*$]"))
-        .distinct()
-    )
+    return lines.filter(~is_ua).join(selected, ["host", "gid"])
 
 
 def compile_rules(robots: DataFrame) -> DataFrame:

@@ -107,6 +107,31 @@ def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
     )
 
 
+def frontier_from_sitemaps(parsed: DataFrame) -> DataFrame:
+    """Parsed sitemap rows (sources/sitemaps.py parse_sitemaps) ->
+    initial frontier: page URLs seed at depth 0 with the sitemap as
+    provenance; index entries (``is_index``) are fetch targets for the
+    NEXT sitemap round, not pages, so they are excluded here."""
+    from don_crawler_spark.functions.urls import add_canonical_url_abs
+
+    urls = add_canonical_url_abs(
+        parsed.filter(~F.col("is_index")).select(
+            F.col("loc").alias("raw_url")
+        ),
+        "raw_url",
+        "url",
+    ).select("url")
+    return (
+        urls.withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("host", host_col(F.col("url")))
+        .withColumn("path", path_col(F.col("url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("src_url", F.lit("sitemap"))
+        .withColumn("attempts", F.lit(0))
+        .select(FRONTIER_COLS)
+    )
+
+
 def _dedup_frontier(frontier: DataFrame) -> DataFrame:
     """Per-url_hash tuple-min on (depth, src_url, ...) — J5's per-key
     serialization without locks. Partial aggregation makes this a

@@ -304,6 +304,59 @@ def test_sitemap_urls_from_robots(spark) -> None:
     }
 
 
+def test_crawl_delays_from_robots(spark) -> None:
+    """Crawl-delay is group-scoped: the exact-UA group's delay wins
+    over star's, invalid values ignored, max across selected groups,
+    fractional seconds -> ms."""
+    from don_crawler_spark.functions.robots import crawl_delays_from_robots
+
+    df = spark.createDataFrame(
+        [
+            # exact group (0.5s) replaces star group (10s)
+            (
+                "a.com",
+                "User-agent: *\nCrawl-delay: 10\n\n"
+                "User-agent: doncrawler\nCrawl-delay: 0.5\n",
+            ),
+            # two selected star groups -> max; junk value ignored
+            (
+                "b.com",
+                "User-agent: *\nCrawl-delay: 2\nUser-agent: *\n"
+                "Crawl-delay: oops\nCrawl-delay: 3\n",
+            ),
+            ("c.com", "User-agent: *\nDisallow: /x/\n"),  # no delay
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        (r.host, r.crawl_delay_ms)
+        for r in crawl_delays_from_robots(df).collect()
+    }
+    assert got == {("a.com", 500), ("b.com", 3000)}
+
+
+def test_frontier_from_sitemaps(spark) -> None:
+    from don_crawler_spark.plans.round import frontier_from_sitemaps
+    from don_crawler_spark.sources.sitemaps import parse_sitemaps
+
+    xml = (
+        "<urlset><url><loc>https://a.com/p1</loc></url>"
+        "<url><loc>https://a.com/p2</loc></url></urlset>"
+    )
+    idx = "<sitemapindex><sitemap><loc>https://a.com/s.xml</loc></sitemap></sitemapindex>"
+    parsed = parse_sitemaps(
+        spark.createDataFrame(
+            [("a.com", xml), ("a.com", idx)], "host string, xml string"
+        )
+    )
+    fr = frontier_from_sitemaps(parsed)
+    rows = fr.collect()
+    assert {r.url for r in rows} == {"https://a.com/p1", "https://a.com/p2"}
+    assert all(r.depth == 0 and r.host == "a.com" for r in rows)
+    # index entries are sitemap fetch targets, never frontier pages
+    assert not any("s.xml" in r.url for r in rows)
+
+
 def test_parse_feeds_filter(spark) -> None:
     """End-to-end: raw text -> rules -> longest-prefix frontier filter."""
     df = spark.createDataFrame(
