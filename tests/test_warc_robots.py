@@ -155,6 +155,38 @@ def test_read_warc_binary(spark, tmp_path) -> None:
 
 
 # ---------------------------------------------------------------------------
+# plan shapes (repo convention: every operator asserts its scale story)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_parse_plans(spark) -> None:
+    """WET record parsing and sitemap parsing are pure map-side codegen
+    (zero exchanges, zero Python); robots parsing shuffles only on its
+    small keys (host/gid), never RangePartitioning, never Python."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.001"
+    wet = _plan(em.queries()["wet_record_roundtrip"](spark, sf))
+    # the only exchange is the loader's round-robin re-spread; the
+    # format/parse itself never keys a shuffle
+    assert "hashpartitioning" not in wet.lower()
+    assert "rangepartitioning" not in wet.lower()
+    assert "Python" not in wet
+
+    sm = _plan(em.queries()["sitemap_parse"](spark, sf))
+    # union of the two doc shapes still parses map-side per branch
+    assert "Exchange" not in sm and "Python" not in sm
+
+    rb = _plan(em.queries()["robots_txt_parse"](spark, sf))
+    assert "Python" not in rb
+    assert "rangepartitioning" not in rb.lower()
+
+
+# ---------------------------------------------------------------------------
 # robots.txt parser
 # ---------------------------------------------------------------------------
 
