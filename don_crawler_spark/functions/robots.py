@@ -113,8 +113,7 @@ def crawl_delays_from_robots(
     )
 
 
-#: line records that participate in grouping — a non-UA record between
-#: two User-agent lines terminates the UA run (Google parser behavior)
+#: rule-bearing line records consumed downstream of grouping
 _GROUP_FIELDS = ("user-agent", "allow", "disallow", "crawl-delay")
 
 
@@ -125,36 +124,43 @@ def _selected_group_lines(
     assign group ids (runs of consecutive User-agent lines start
     groups), pick the groups that apply to ``user_agent``
     (exact-token-else-star), and return their non-UA lines as
-    ``(host, pos, field, val)``."""
+    ``(host, pos, field, val)``.
+
+    Group-start detection runs over EVERY physical line, before any
+    relevance filtering: ANY intervening line — blank, comment-only,
+    ``Sitemap:``, unknown records — terminates a User-agent run, so
+    two UA lines separated by one never merge into a single group
+    (matching the reference replay in the grammar test and common
+    parser behavior)."""
     ua = user_agent.lower()
     line = F.regexp_replace(
         F.regexp_replace(F.col("raw"), "\r", ""), "#.*", ""
     )
-    lines = (
-        df.select(
-            F.col(host_col).alias("host"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    has_colon = F.instr(line, ":") > 0
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.when(has_colon, F.lower(F.trim(F.substring_index(line, ":", 1))))
+        .otherwise(F.lit(""))
+        .alias("field"),
+        F.when(
+            has_colon,
+            F.trim(line.substr(F.instr(line, ":") + 1, F.length(line))),
         )
-        .select("host", "pos", line.alias("line"))
-        .filter(F.instr("line", ":") > 0)
-        .select(
-            "host",
-            "pos",
-            F.lower(F.trim(F.substring_index("line", ":", 1))).alias("field"),
-            F.trim(
-                F.col("line").substr(
-                    F.instr(F.col("line"), ":") + 1, F.length("line")
-                )
-            ).alias("val"),
-        )
-        .filter(F.col("field").isin(*_GROUP_FIELDS))
+        .otherwise(F.lit(""))
+        .alias("val"),
     )
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = F.col("field") == "user-agent"
     new_group = is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))
-    lines = lines.withColumn(
-        "gid", F.sum(new_group.cast("long")).over(w)
-    ).filter(F.col("gid") > 0)
+    lines = (
+        lines.withColumn("gid", F.sum(new_group.cast("long")).over(w))
+        .filter(F.col("gid") > 0)
+        .filter(F.col("field").isin(*_GROUP_FIELDS))
+    )
 
     groups = (
         lines.filter(is_ua)

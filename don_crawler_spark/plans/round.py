@@ -96,15 +96,7 @@ def frontier_from_seeds(seeds: DataFrame) -> DataFrame:
     urls = add_canonical_url_abs(
         orgs.unionByName(repos), "raw_url", "url"
     ).select("url")
-    return (
-        urls.withColumn("url_hash", F.xxhash64("url"))
-        .withColumn("host", host_col(F.col("url")))
-        .withColumn("path", path_col(F.col("url")))
-        .withColumn("depth", F.lit(0))
-        .withColumn("src_url", F.lit(""))
-        .withColumn("attempts", F.lit(0))
-        .select(FRONTIER_COLS)
-    )
+    return _frontier_from_urls(urls, src_url="")
 
 
 def frontier_from_sitemaps(parsed: DataFrame) -> DataFrame:
@@ -121,12 +113,18 @@ def frontier_from_sitemaps(parsed: DataFrame) -> DataFrame:
         "raw_url",
         "url",
     ).select("url")
+    return _frontier_from_urls(urls, src_url="sitemap")
+
+
+def _frontier_from_urls(urls: DataFrame, src_url: str) -> DataFrame:
+    """Canonical-URL rows -> depth-0 frontier shape (shared by every
+    seed source so FRONTIER_COLS changes happen in one place)."""
     return (
         urls.withColumn("url_hash", F.xxhash64("url"))
         .withColumn("host", host_col(F.col("url")))
         .withColumn("path", path_col(F.col("url")))
         .withColumn("depth", F.lit(0))
-        .withColumn("src_url", F.lit("sitemap"))
+        .withColumn("src_url", F.lit(src_url))
         .withColumn("attempts", F.lit(0))
         .select(FRONTIER_COLS)
     )

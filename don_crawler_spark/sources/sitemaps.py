@@ -17,8 +17,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_LOC = r"<loc>\s*([^<]*?)\s*</loc>"
+# lazy inner match (not [^<]*): CMS sitemap plugins commonly wrap loc
+# in CDATA, whose opener contains '<'; the wrapper is stripped after
+_LOC = r"<loc>\s*(.*?)\s*</loc>"
 _LASTMOD = r"<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def _strip_cdata(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(c, r"^<!\[CDATA\[\s*", ""), r"\s*\]\]>$", ""
+    )
 
 
 def _xml_unescape(c: Column) -> Column:
@@ -53,10 +61,11 @@ def parse_sitemaps(
         .filter(loc != "")
         .select(
             "host",
-            _xml_unescape(loc).alias("loc"),
+            _xml_unescape(_strip_cdata(loc)).alias("loc"),
             lastmod.alias("lastmod"),
             "is_index",
         )
+        .filter(F.col("loc") != "")
     )
 
 
@@ -71,10 +80,16 @@ def sitemap_urls_from_robots(
     line = F.regexp_replace(
         F.regexp_replace(F.col("raw"), "\r", ""), "#.*", ""
     )
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
-    ).select("host", line.alias("line"))
+    lines = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+        )
+        .select("host", line.alias("line"))
+        # colon-less lines have no value: without this guard a bare
+        # 'sitemap' line would emit itself as the URL
+        .filter(F.instr("line", ":") > 0)
+    )
     field = F.lower(F.trim(F.substring_index("line", ":", 1)))
     value = F.trim(
         F.col("line").substr(F.instr(F.col("line"), ":") + 1, F.length("line"))

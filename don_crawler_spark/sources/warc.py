@@ -58,9 +58,15 @@ def parse_wet_fields(seg: Column) -> list[Column]:
     hdr = _header_block(seg)
 
     def _h(name: str) -> Column:
-        return F.regexp_extract(hdr, rf"(?mi)^{name}:\s*(\S+)", 1)
+        # [ \t]* (not \s*) before the capture: \s* would consume the
+        # CRLF after an EMPTY header value and capture the NEXT line's
+        # first token as this header's value
+        return F.regexp_extract(hdr, rf"(?mi)^{name}:[ \t]*(\S+)", 1)
 
-    clen = _h("Content-Length").cast("long")
+    # try_cast: a malformed/truncated record (garbage preamble, a
+    # .wet.gz read as text) has no Content-Length — ANSI cast('') would
+    # abort the whole scan; null degrades that record to a null payload
+    clen = _h("Content-Length").try_cast("long")
     # payload = first Content-Length BYTES after the blank line
     rest = seg.substr(F.length(hdr) + F.lit(5), F.length(seg))
     payload = F.decode(
@@ -156,7 +162,14 @@ def read_warc_binary(spark: SparkSession, path: str) -> DataFrame:
                     for ln in hdr.split("\r\n"):
                         k, _, v = ln.partition(":")
                         fields[k.strip().lower()] = v.strip()
-                    clen = int(fields.get("content-length", "0") or 0)
+                    try:
+                        clen = int(fields.get("content-length", "0") or 0)
+                    except ValueError:
+                        # corrupt header: skip this record, keep
+                        # scanning — one bad record must not fail the
+                        # whole segment file
+                        i = data.find(marker, hdr_end + 4)
+                        continue
                     body = data[hdr_end + 4: hdr_end + 4 + clen]
                     rows.append(
                         (

@@ -69,7 +69,9 @@ def wet_pages_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
         .filter(F.col("warc_type") == "conversion")
         .select(
             F.col("target_uri").alias("url"),
-            F.to_timestamp("warc_date").alias("warc_ts"),
+            # try_to_timestamp: one malformed WARC-Date must degrade to
+            # null, not kill the checkpointed stream on every retry
+            F.try_to_timestamp("warc_date").alias("warc_ts"),
             F.col("payload").alias("text"),
         )
     )

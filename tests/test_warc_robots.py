@@ -94,6 +94,79 @@ def test_write_then_read_wet(spark, tmp_path) -> None:
     assert joined.count() == 0
 
 
+def test_read_wet_malformed_degrades(spark, tmp_path) -> None:
+    """Garbage preamble, a record with no Content-Length, and an
+    EMPTY-valued header must degrade to null fields — never abort the
+    scan (ANSI cast) or capture the next line's token as a value."""
+    d = tmp_path / "wet_bad"
+    d.mkdir()
+    (d / "bad.wet").write_bytes(
+        b"garbage preamble not a record\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI:\r\n"          # empty value
+        b"WARC-Date: 2026-08-01T00:00:00Z\r\n\r\nxx\r\n\r\n"  # no Content-Length
+        + _wet_bytes()
+    )
+    df = read_wet(spark, str(d))
+    rows = df.orderBy("target_uri").collect()
+    # the 3 good conversion records still parse exactly
+    good = [r for r in rows if r.payload is not None]
+    assert [r.payload for r in good] == _PAYLOADS
+    # the malformed record is present but degraded, with NO cross-line
+    # value capture (target_uri must not read 'WARC-Date:')
+    bad = [r for r in rows if r.payload is None]
+    assert len(bad) == 1
+    assert bad[0].content_length is None
+    assert bad[0].target_uri == ""
+
+
+def test_read_warc_binary_corrupt_record_skipped(spark, tmp_path) -> None:
+    from don_crawler_spark.sources.warc import read_warc_binary
+
+    good_body = b"ok-payload"
+    data = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/bad\r\n"
+        b"Content-Length: abc\r\n\r\njunk\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x/good\r\n"
+        + f"Content-Length: {len(good_body)}\r\n\r\n".encode()
+        + good_body
+        + b"\r\n\r\n"
+    )
+    d = tmp_path / "warc_bad"
+    d.mkdir()
+    (d / "c.warc").write_bytes(data)
+    rows = read_warc_binary(spark, str(d)).collect()
+    assert [(r.target_uri, bytes(r.payload)) for r in rows] == [
+        ("https://x/good", good_body)
+    ]
+
+
+def test_parse_sitemaps_cdata_loc(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import parse_sitemaps
+
+    xml = (
+        "<urlset><url><loc><![CDATA[https://a.com/cdata?x=1&amp;y=2]]></loc>"
+        "</url></urlset>"
+    )
+    df = spark.createDataFrame([("a.com", xml)], "host string, xml string")
+    rows = parse_sitemaps(df).collect()
+    assert [(r.loc, r.is_index) for r in rows] == [
+        ("https://a.com/cdata?x=1&y=2", False)
+    ]
+
+
+def test_sitemap_bare_line_not_a_url(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import sitemap_urls_from_robots
+
+    df = spark.createDataFrame(
+        [("a.com", "sitemap\nSitemap: https://a.com/s.xml\n")],
+        "host string, robots_txt string",
+    )
+    assert [r.sitemap_url for r in sitemap_urls_from_robots(df).collect()] == [
+        "https://a.com/s.xml"
+    ]
+
+
 def test_wet_streaming_ingest(spark, tmp_path) -> None:
     """WET drops -> streaming text source (record lineSep) -> pages
     parquet, exactly-once per file across re-runs."""
@@ -227,6 +300,14 @@ _FIXTURES = {
     ),
     # no group matches at all -> no rules
     "e.com": "User-agent: badbot\nDisallow: /\n",
+    # a BLANK line between UA lines terminates the run: doncrawler's
+    # (empty) group must NOT merge with badbot's — nothing is blocked
+    "f.com": "User-agent: doncrawler\n\nUser-agent: badbot\nDisallow: /\n",
+    # same with a Sitemap: line as the separator
+    "g.com": (
+        "User-agent: doncrawler\nSitemap: https://g.com/s.xml\n"
+        "User-agent: badbot\nDisallow: /\n"
+    ),
 }
 
 _EXPECTED = {
@@ -235,6 +316,8 @@ _EXPECTED = {
     "c.com": {("/tmp/", False)},
     "d.com": {("/search", False), ("/search/ok/", True)},
     "e.com": set(),
+    "f.com": set(),
+    "g.com": set(),
 }
 
 
