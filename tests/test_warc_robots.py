@@ -94,6 +94,20 @@ def test_write_then_read_wet(spark, tmp_path) -> None:
     assert joined.count() == 0
 
 
+def test_read_wet_gzip(spark, tmp_path) -> None:
+    """Real CC WET segments ship as .warc.wet.gz: the text source
+    decompresses by extension (whole-file, one partition per file —
+    gzip is not splittable, which matches WARC's per-segment
+    parallelism), and record parsing is unchanged."""
+    import gzip
+
+    d = tmp_path / "wet_gz"
+    d.mkdir()
+    (d / "seg.warc.wet.gz").write_bytes(gzip.compress(_wet_bytes()))
+    rows = read_wet(spark, str(d)).orderBy("target_uri").collect()
+    assert [r.payload for r in rows] == _PAYLOADS
+
+
 def test_read_wet_malformed_degrades(spark, tmp_path) -> None:
     """Garbage preamble, a record with no Content-Length, and an
     EMPTY-valued header must degrade to null fields — never abort the
