@@ -26,18 +26,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def probe_mbs() -> float:
-    import numpy as np
-
-    a = np.empty(100 * 1024 * 1024, dtype=np.int8)
-    t0 = time.monotonic()
-    a[:] = 1
-    a[:] = 2
-    return round(200 / (time.monotonic() - t0), 1)
-
-
-def force(df) -> None:
-    df.write.mode("overwrite").format("noop").save()
+# single probe/force implementation lives in bench.py so readings stay
+# comparable across scripts (the 2x pair-agreement gate depends on it)
+from bench import force, probe_mbs  # noqa: E402
 
 
 def main() -> None:

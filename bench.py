@@ -167,6 +167,20 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def probe_mbs() -> float:
+    """Host write-throttle probe (memory-bandwidth fill): the single
+    calibration the clean-pair protocol compares across runs — keep ONE
+    implementation (BENCH/regress_probe.py imports this one) so probe
+    readings stay comparable across scripts and sessions."""
+    import numpy as np
+
+    a = np.empty(100 * 1024 * 1024, dtype=np.int8)
+    t0 = time.monotonic()
+    a[:] = 1
+    a[:] = 2
+    return round(200 / (time.monotonic() - t0), 1)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
@@ -212,16 +226,6 @@ def main() -> None:
         #      back-to-back with a host write-speed probe around every
         #      run and scores only pairs whose probes agree within 2x.
         pages = args.pages or 500_000
-
-        def probe_mbs() -> float:
-            import numpy as np
-            import time as _t
-
-            a = np.empty(100 * 1024 * 1024, dtype=np.int8)
-            t0 = _t.monotonic()
-            a[:] = 1
-            a[:] = 2
-            return round(200 / (_t.monotonic() - t0), 1)
 
         def run_one(mode: str, cpus: int, executors: int | None) -> dict:
             cmd = [sys.executable, __file__, mode, "--cpus", str(cpus),

@@ -29,16 +29,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def _ensure_bloom_agg_registered(spark) -> bool:
     """Copy ``bloom_filter_agg`` from the internal function registry into
-    the session registry (idempotent per session). Returns False when the
-    internal machinery is unavailable."""
-    key = id(spark)
-    if key in _REGISTERED_SESSIONS:
-        return True
+    the session registry. Returns False when the internal machinery is
+    unavailable.
+
+    Deliberately NOT memoized per session: an ``id(spark)``-keyed cache
+    can collide when a stopped session's address is reused by a new one,
+    silently skipping registration and degrading every shuffle round to
+    the un-pruned extraction scan. registerFunction overwrites, so
+    re-running the few py4j calls per round is both safe and cheap next
+    to the round's jobs."""
     try:
         gw = spark.sparkContext._gateway
         jvm = spark._jvm
@@ -55,7 +56,6 @@ def _ensure_bloom_agg_registered(spark) -> bool:
         spark._jsparkSession.sessionState().functionRegistry().registerFunction(
             fid, internal.lookupFunction(fid).get(), builder.get()
         )
-        _REGISTERED_SESSIONS.add(key)
         return True
     except Exception:
         return False

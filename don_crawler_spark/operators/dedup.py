@@ -309,12 +309,15 @@ def simhash_udf(text: pd.Series) -> pd.Series:
 # for bits (g, 16+g, 32+g, 48+g) at bit offsets 0/16/32/48 — one
 # shift+AND per acc slot per token instead of one ±1 vote per BIT.
 _SWAR_LANE_MASK = 0x0001_0001_0001_0001
-# 16-bit lanes overflow at 65536 distinct tokens per doc; the fold caps
-# the (first-occurrence-ordered, deterministic) distinct token array
-# there. A doc needs >65535 DISTINCT whitespace tokens (≈ >0.5 MB of
+# The TOP packed counter occupies bits 48-63 of a SIGNED long, so the
+# fold stays overflow-free (ANSI would throw on a signed-long Add
+# carrying into bit 63) only while every counter <= 0x7FFF: cap the
+# (first-occurrence-ordered, deterministic) distinct token array at
+# 32767. A doc needs >32767 DISTINCT whitespace tokens (≈ >0.25 MB of
 # never-repeating words) to hit the cap — beyond it the fingerprint is
-# computed over the first 65535, still deterministic.
-_SWAR_MAX_TOKENS = 65535
+# computed over the first 32767, still deterministic, and the parity
+# replay mirrors the cap.
+_SWAR_MAX_TOKENS = 32767
 
 
 def simhash_native_col(text):
@@ -333,7 +336,9 @@ def simhash_native_col(text):
     tests/test_similarity_dedup.py.
 
     Fold shape (r4 restructure, SAME fingerprint values as the original
-    v2 fold): HOF lambdas run JVM-interpreted, so per-token expression
+    v2 fold for docs within the _SWAR_MAX_TOKENS cap — the cap, which
+    the parity replay mirrors, is the one contract change): HOF lambdas
+    run JVM-interpreted, so per-token expression
     nodes are the unit of cost. The original fold carried a 64-slot ±1
     vote array (~800 interpreted nodes/token); this one carries 16 longs
     of SWAR-packed 16-bit lane counters — per token, acc[g] +=

@@ -151,13 +151,15 @@ def get_spark(
         # broadcastTimeout: the 300s default is a hang detector, not a
         # budget — but a broadcast value may sit at the end of a long
         # compute pipeline (the crawl's selected-set prune builds the
-        # whole frontier selection before broadcasting its keys), and on
-        # the 2-core scaling-bench executors (executors != None) a
-        # legitimate build can exceed 300s. Raise it ONLY there; normal
-        # sessions keep a working hang detector (r3 ADVICE).
+        # whole frontier selection before broadcasting its keys). On the
+        # 2-core scaling-bench executors (executors != None) a legitimate
+        # build can take a long time -> 3600; normal sessions get 1200:
+        # still a working hang detector (r3 ADVICE), but with headroom
+        # for a legitimate build caught in this host's documented 6x
+        # write-throttle swings.
         .config(
             "spark.sql.broadcastTimeout",
-            "3600" if executors is not None else "300",
+            "3600" if executors is not None else "1200",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.executorEnv.PYTHONMALLOC", worker_env["PYTHONMALLOC"])

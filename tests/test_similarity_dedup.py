@@ -131,7 +131,14 @@ def test_simhash_v2_native_parity(spark) -> None:
     def replay(t: str | None) -> int:
         if not t:
             return 0
-        toks = {x for x in t.split(" ") if x}
+        # ordered first-occurrence dedup + the engine's SWAR lane-
+        # overflow cap (operators/dedup.py _SWAR_MAX_TOKENS): the cap
+        # is part of the v2 contract, so the replay mirrors it
+        from don_crawler_spark.operators.dedup import _SWAR_MAX_TOKENS
+
+        toks = list(dict.fromkeys(x for x in t.split(" ") if x))[
+            :_SWAR_MAX_TOKENS
+        ]
         if not toks:
             return 0
         votes = [0] * 64
@@ -150,6 +157,10 @@ def test_simhash_v2_native_parity(spark) -> None:
         "   ",
         "tøken ünïcode ascii",
         " ".join(f"w{i % 37}" for i in range(400)),
+        # over the SWAR lane cap (32767): engine and replay must agree
+        # on the capped-prefix fingerprint, and the fold must not
+        # overflow the signed-long top lane under ANSI
+        " ".join(f"t{i}" for i in range(33000)),
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = [
