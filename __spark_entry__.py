@@ -1463,6 +1463,65 @@ def ann_ivf(spark, sf_dir):
     return SIM.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
 
 
+@_q(
+    "ann_pq_adc",
+    # Product-quantization ADC top-k (Jegou et al. 2011 / FAISS IndexPQ)
+    # — the third ANN scale path: 8 subspaces x 16 seed codewords (the
+    # ivf_assign seed convention keeps it SQL-expressible), approx
+    # dist^2 = sum over subspaces of exact squared-L2 to the assigned
+    # codeword. Each contribution is nano-scaled to BIGINT BEFORE the
+    # per-candidate sum (the BM25 order-free-sum convention), so the
+    # GROUP-BY sum here and the engine's left-to-right aggregate() fold
+    # are the same exact integer; top-k ranks on it. Subdistances spell
+    # the identical (a.a - 2*a.b) + b.b dot-product sequence as the
+    # engine's _sub_l2 so argmin assignment agrees bit-for-bit.
+    """WITH cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+m AS (SELECT UNNEST(range(8)) AS m),
+sub AS (
+  SELECT e.vec_id, m.m, cb.code,
+         ((list_dot_product(list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                            list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[])
+           - 2*list_dot_product(list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                                list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[]))
+          + list_dot_product(list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                             list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[])) AS d
+  FROM embeddings e, m, cb),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+    FROM sub) WHERE rn = 1),
+contrib AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         CAST(ROUND(((list_dot_product(list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                       list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[])
+                      - 2*list_dot_product(list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                           list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[]))
+                     + list_dot_product(list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                        list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[])) * 1e9)
+              AS BIGINT) AS nano
+  FROM q, assign a JOIN cb ON cb.code = a.code
+  WHERE q.query_id <> a.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, SUM(nano) AS adc_nano
+  FROM contrib GROUP BY query_id, neighbor_id)
+SELECT query_id, rank, neighbor_id, ROUND(adc_nano / 1e9, 6) AS adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_nano,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+)
+def ann_pq(spark, sf_dir):
+    """PQ-ADC ANN (third scale path): m_sub-byte codes instead of raw
+    vectors — the memory-compression regime where even IVF-Flat's cell
+    lists outgrow RAM. Encode is map-side; queries + codebook broadcast;
+    adc_dist ascends (squared-L2 distance, not a similarity)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_adc_topk(emb, queries, k=10, m_sub=8, sub_dim=8, n_codes=16)
+
+
 @_q("ann_lsh_bucketed", None)  # numpy LSH projection: no SQL oracle, but
 # the output is fully deterministic (splitmix64 hyperplanes) and pinned
 # row-for-row against a frozen sf0.001 fixture plus a recall floor vs

@@ -55,6 +55,7 @@ HEADLINE_QUERIES = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_ivf_flat",
+    "ann_pq_adc",
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",

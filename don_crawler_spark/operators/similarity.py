@@ -489,3 +489,175 @@ def semantic_dedup(
             F.col("__dropped").isNull().alias("keep"),
         )
     )
+
+
+# --- product quantization (PQ-ADC) -------------------------------------------
+
+_PQ_SCALE = 1_000_000_000  # nano-unit integer scale for order-free ADC sums
+
+
+def _sub_l2(a, b):
+    """Squared L2 distance of two (sliced) array<float> columns, computed
+    as (a.a - 2*a.b) + b.b from three left-to-right dot-product folds —
+    the exact operation sequence the DuckDB oracle spells with
+    list_dot_product, so argmin comparisons agree bit-for-bit."""
+    return (_dot(a, a) - 2.0 * _dot(a, b)) + _dot(b, b)
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Single-row relation holding the whole PQ codebook:
+    ``cb = array<struct<code int, cb_vec array<float>>>`` sorted by code.
+    Codewords are the first ``n_codes`` data vectors by id — the same
+    deterministic seed convention as ivf_assign (production swaps in
+    k-means codewords per subspace; plumbing and schema are identical,
+    and seed codewords keep the operator oracle-expressible). One row of
+    a few KB -> broadcast to every consumer."""
+    return (
+        embeddings.filter(F.col(id_col) < n_codes)
+        .select(
+            F.struct(
+                F.col(id_col).cast("int").alias("code"),
+                F.col(vec_col).alias("cb_vec"),
+            ).alias("cw")
+        )
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("cw")).alias("cb"))
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ encoding: split each vector into ``m_sub`` contiguous
+    ``sub_dim``-wide subvectors and store, per subspace, the id of the
+    nearest codeword by squared L2 (ties -> lowest code). Output:
+    (vec_id, codes array<int>) — the 100-TB memory story: m_sub bytes
+    per vector (codes fit uint8 for n_codes <= 256) instead of
+    4*dim, an 8-64x compression that keeps whole-corpus ADC scans
+    RAM-resident where raw float vectors spill.
+
+    Plan shape: ONE broadcast single-row cross join (the codebook),
+    then a pure map-side projection — the argmin is an aggregate() fold
+    over the n_codes codewords inside a transform() over subspaces, so
+    the corpus never shuffles and encode parallelism is scan
+    parallelism. HOFs evaluate JVM-interpreted (the simhash-v2
+    tradeoff, operators/dedup.py): ~m_sub*n_codes 8-wide dot folds per
+    vector, a constant ~1k flops — encode stays scan-bound."""
+    init = F.struct(
+        F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("c")
+    )
+
+    def codes_expr():
+        def argmin_for(m):
+            def step(acc, cw):
+                e_sub = F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim)
+                c_sub = F.slice(cw["cb_vec"], m * sub_dim + 1, sub_dim)
+                d = _sub_l2(e_sub, c_sub)
+                # strict < keeps the FIRST minimum: cb is sorted by code,
+                # so ties resolve to the lowest code — the oracle's
+                # ORDER BY d ASC, code ASC
+                return F.when(
+                    d < acc["d"],
+                    F.struct(d.alias("d"), cw["code"].alias("c")),
+                ).otherwise(acc)
+
+            return F.aggregate(F.col("cb"), init, step, lambda a: a["c"])
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)), argmin_for
+        )
+
+    return (
+        embeddings.join(
+            F.broadcast(pq_codebook(embeddings, n_codes, vec_col, id_col))
+        )
+        .select(F.col(id_col), codes_expr().alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (FAISS IndexPQ / Jegou et al. 2011):
+    approx dist^2(q, x) = sum over subspaces of the exact squared L2
+    between q's subvector and x's ASSIGNED CODEWORD — the third ANN
+    scale path next to hyperplane LSH (replicates the corpus n_tables
+    times) and IVF-Flat (prunes cells but stores raw vectors): PQ scans
+    everything but touches only m_sub-byte codes per candidate, and
+    composes with ivf_assign for IVF-PQ (cell prune + code scan).
+
+    Determinism: each per-subspace contribution is integer-scaled to
+    nano units (round(d * 1e9) -> BIGINT) BEFORE the per-candidate sum,
+    so the fold is order-free exact arithmetic and the DuckDB oracle's
+    GROUP-BY sum (a different order) replays it bit-for-bit — the
+    retrieval.py BM25 convention. Top-k ranks on the exact integer
+    (ties -> neighbor id); the 6-dp double is presentation only.
+
+    Output: (query_id, rank, neighbor_id, adc_dist) — adc_dist ASCENDS
+    (a distance, not a similarity). Plan shape: encode is map-side
+    (pq_encode), queries and codebook broadcast; candidates stream
+    through one projection and the final per-query top-k window."""
+    from pyspark.sql import Window
+
+    enc = pq_encode(
+        embeddings, m_sub, sub_dim, n_codes, vec_col, id_col
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+
+    def nano_sum():
+        def step(acc, m):
+            cw_vec = F.element_at(
+                F.col("cb"), F.element_at(F.col("codes"), m + 1) + 1
+            )["cb_vec"]
+            q_sub = F.slice(F.col("q_vec"), m * sub_dim + 1, sub_dim)
+            c_sub = F.slice(cw_vec, m * sub_dim + 1, sub_dim)
+            return acc + F.round(
+                _sub_l2(q_sub, c_sub) * _PQ_SCALE
+            ).cast("bigint")
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            F.lit(0).cast("bigint"),
+            step,
+        )
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_nano"), F.asc("neighbor_id")
+    )
+    return (
+        enc.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            F.broadcast(pq_codebook(embeddings, n_codes, vec_col, id_col))
+        )
+        .select("query_id", "neighbor_id", nano_sum().alias("adc_nano"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc_nano") / float(_PQ_SCALE), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )
