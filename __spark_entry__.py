@@ -1522,6 +1522,87 @@ def ann_pq(spark, sf_dir):
     return SIM.pq_adc_topk(emb, queries, k=10, m_sub=8, sub_dim=8, n_codes=16)
 
 
+@_q(
+    "ann_ivf_pq",
+    # IVF-PQ (FAISS production shape): ann_ivf_flat's cosine cell
+    # assignment/probing composed with ann_pq_adc's code scan — ADC
+    # scores only probed cells' members. Assignment/probe CTEs are
+    # verbatim from the ann_ivf_flat oracle; encode/contrib verbatim
+    # from ann_pq_adc, joined through (probes x ivf) so the candidate
+    # set is the probed-cell membership. Same nano-int order-free sums.
+    """WITH cent AS (SELECT vec_id AS cell, embedding FROM embeddings WHERE vec_id < 16),
+cb AS (SELECT vec_id AS code, embedding FROM embeddings WHERE vec_id < 16),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+ivf AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             DESC, c.cell ASC) AS rn
+    FROM embeddings e, cent c) WHERE rn = 1),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(q.q_vec::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.q_vec::DOUBLE[], q.q_vec::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+             DESC, c.cell ASC) AS rn
+    FROM q, cent c) WHERE rn <= 4),
+m AS (SELECT UNNEST(range(8)) AS m),
+sub AS (
+  SELECT e.vec_id, m.m, cb.code,
+         ((list_dot_product(list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                            list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[])
+           - 2*list_dot_product(list_slice(e.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                                list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[]))
+          + list_dot_product(list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[],
+                             list_slice(cb.embedding, m.m*8+1, m.m*8+8)::DOUBLE[])) AS d
+  FROM embeddings e, m, cb),
+assign AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+    FROM sub) WHERE rn = 1),
+contrib AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(ROUND(((list_dot_product(list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                       list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[])
+                      - 2*list_dot_product(list_slice(q.q_vec, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                           list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[]))
+                     + list_dot_product(list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[],
+                                        list_slice(cb.embedding, a.m*8+1, a.m*8+8)::DOUBLE[])) * 1e9)
+              AS BIGINT) AS nano
+  FROM probes p
+  JOIN ivf ON ivf.cell = p.cell
+  JOIN assign a ON a.vec_id = ivf.vec_id
+  JOIN cb ON cb.code = a.code
+  JOIN q ON q.query_id = p.query_id
+  WHERE p.query_id <> a.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id, SUM(nano) AS adc_nano
+  FROM contrib GROUP BY query_id, neighbor_id)
+SELECT query_id, rank, neighbor_id, ROUND(adc_nano / 1e9, 6) AS adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_nano,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_nano ASC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 10""",
+)
+def ann_ivf_pq(spark, sf_dir):
+    """IVF-PQ composition: cell prune (n_probe/n_centroids of the
+    corpus per query) x compressed code scan (m_sub bytes per
+    candidate) — the two ANN scale levers multiplied, the FAISS
+    production shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_pq_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4,
+        m_sub=8, sub_dim=8, n_codes=16,
+    )
+
+
 @_q("ann_lsh_bucketed", None)  # numpy LSH projection: no SQL oracle, but
 # the output is fully deterministic (splitmix64 hyperplanes) and pinned
 # row-for-row against a frozen sf0.001 fixture plus a recall floor vs

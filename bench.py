@@ -56,6 +56,7 @@ HEADLINE_QUERIES = [
     "ann_lsh_bucketed",
     "ann_ivf_flat",
     "ann_pq_adc",
+    "ann_ivf_pq",
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",

@@ -661,3 +661,96 @@ def pq_adc_topk(
             ),
         )
     )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ (the FAISS production shape): IVF cell pruning composed
+    with PQ code scanning — each query probes its ``n_probe`` nearest
+    cells by cosine (ivf_assign's convention) and ADC-scores ONLY those
+    cells' members, touching m_sub-byte codes instead of raw vectors.
+    Candidate work per query drops from O(N) (pq_adc_topk) to
+    O(N * n_probe / n_centroids), and the scanned relation is the
+    compressed code table — the two scale levers multiply.
+
+    Classic FAISS encodes RESIDUALS (vector minus cell centroid) for
+    accuracy; codes here quantize the raw vector — same plumbing,
+    schema, and plan shape, chosen so the whole operator (assignment,
+    encoding, ADC) stays SQL-expressible for the oracle. Determinism
+    and output contract identical to pq_adc_topk (nano-int order-free
+    sums; (query_id, rank, neighbor_id, adc_dist) ascending)."""
+    from pyspark.sql import Window
+
+    cent = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .join(F.broadcast(cent))
+        .withColumn("cos", cosine_col(F.col("q_vec"), F.col("cent_vec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cell", "q_vec")
+    )
+
+    enc = pq_encode(
+        embeddings, m_sub, sub_dim, n_codes, vec_col, id_col
+    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    cand = enc.join(
+        ivf_assign(embeddings, n_centroids, vec_col, id_col).select(
+            F.col(id_col).alias("neighbor_id"), "cell"
+        ),
+        "neighbor_id",
+    )
+
+    def nano_sum():
+        def step(acc, m):
+            cw_vec = F.element_at(
+                F.col("cb"), F.element_at(F.col("codes"), m + 1) + 1
+            )["cb_vec"]
+            q_sub = F.slice(F.col("q_vec"), m * sub_dim + 1, sub_dim)
+            c_sub = F.slice(cw_vec, m * sub_dim + 1, sub_dim)
+            return acc + F.round(
+                _sub_l2(q_sub, c_sub) * _PQ_SCALE
+            ).cast("bigint")
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            F.lit(0).cast("bigint"),
+            step,
+        )
+
+    wk = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_nano"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(
+            F.broadcast(pq_codebook(embeddings, n_codes, vec_col, id_col))
+        )
+        .select("query_id", "neighbor_id", nano_sum().alias("adc_nano"))
+        .withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("adc_nano") / float(_PQ_SCALE), 6).alias(
+                "adc_dist"
+            ),
+        )
+    )

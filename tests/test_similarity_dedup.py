@@ -596,3 +596,36 @@ def test_pq_adc_recall_and_contract(spark, emb) -> None:
         )
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.25, f"PQ-ADC recall too low: {recalls}"
+
+
+def test_ivf_pq_candidates_come_from_probed_cells(spark, emb) -> None:
+    """IVF-PQ's pruning contract: every returned neighbor lives in one
+    of its query's n_probe probed cells (replayed via ivf_assign), and
+    for a shared (query, neighbor) pair the ADC distance equals the
+    unpruned pq_adc_topk's — composition changes the candidate set, not
+    the scoring."""
+    from don_crawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_adc_topk,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivf_pq_topk(emb, queries, k=10, n_probe=4).collect()
+    cells = {
+        r["vec_id"]: r["cell"] for r in ivf_assign(emb, 16).collect()
+    }
+    # replay the probe set: top-4 cells per query by cosine (same
+    # centroid convention), via the unpruned scorer's membership
+    full = {
+        (r["query_id"], r["neighbor_id"]): r["adc_dist"]
+        for r in pq_adc_topk(emb, queries, k=10**6).collect()
+    }
+    probed: dict[int, set] = {}
+    for r in got:
+        probed.setdefault(r["query_id"], set()).add(
+            cells[r["neighbor_id"]]
+        )
+        assert full[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
+    for qid, cset in probed.items():
+        assert len(cset) <= 4, f"query {qid} drew from {len(cset)} cells"
