@@ -309,3 +309,19 @@ def test_round_plan_has_no_unpartitioned_window(spark) -> None:
                 if "rank_in_host" in json.dumps(spec):
                     assert len(spec) >= 2, f"unsalted seq Window: {spec}"
     assert n_windows > 0, "expected windowed ranks in the round plan"
+
+
+def test_pq_plans_broadcast_and_stay_jvm(spark) -> None:
+    """The PQ rows' scale contract in the physical plan: the corpus side
+    streams through BROADCAST joins only (codebook + queries are the
+    build sides — a SortMergeJoin would mean vectors shuffled), codes
+    are computed without Python, and the only required exchange is the
+    final per-query top-k window (WindowGroupLimit present)."""
+    import __spark_entry__ as em
+
+    for name in ["ann_pq_adc", "ann_ivf_pq"]:
+        plan = _plan(em.queries()[name](spark, SF))
+        assert "EvalPython" not in plan, name
+        assert "Broadcast" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "WindowGroupLimit" in plan, name
