@@ -1516,7 +1516,10 @@ def ann_pq(spark, sf_dir):
     """PQ-ADC ANN (third scale path): m_sub-byte codes instead of raw
     vectors — the memory-compression regime where even IVF-Flat's cell
     lists outgrow RAM. Encode is map-side; queries + codebook broadcast;
-    adc_dist ascends (squared-L2 distance, not a similarity)."""
+    adc_dist ascends (squared-L2 distance, not a similarity). Recall
+    tracks subspace resolution: 0.34 here (8x8, near-uniform vectors),
+    0.73-0.89 at 32x2/64x1 on clustered embeddings (pinned in
+    tests/test_similarity_dedup.py)."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.pq_adc_topk(emb, queries, k=10, m_sub=8, sub_dim=8, n_codes=16)

@@ -629,3 +629,53 @@ def test_ivf_pq_candidates_come_from_probed_cells(spark, emb) -> None:
         assert full[(r["query_id"], r["neighbor_id"])] == r["adc_dist"]
     for qid, cset in probed.items():
         assert len(cset) <= 4, f"query {qid} drew from {len(cset)} cells"
+
+
+def test_pq_finer_subspaces_on_clustered_embeddings(spark) -> None:
+    """PQ analogue of the LSH fine-buckets test: on CLUSTERED embeddings
+    the registered 8x8/16-codeword config reads recall 0.18 — seed
+    codewords' quantization error is comparable to within-cluster
+    distances, so within-cluster ranking collapses (the regime classic
+    FAISS fixes with residual encoding / trained codebooks). Finer
+    subspaces recover it with the SAME operator: measured means on the
+    deterministic fixture are 0.73 at 32x2/64 codes (32 B/vector, 8x
+    compression) and 0.89 at 64x1/64 codes (scalar-quantization limit,
+    64 B/vector) — floors pinned just under."""
+    import numpy as np
+
+    from don_crawler_spark.operators.similarity import pq_adc_topk
+    from don_crawler_spark.sources.synth import clustered_embeddings_pdf
+
+    pdf = clustered_embeddings_pdf(n_vectors=1500, n_clusters=25)
+    V = np.stack(pdf["embedding"].values)
+    pdf = pdf.copy()
+    pdf["embedding"] = pdf["embedding"].map(list)
+    emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    exact = {}
+    for qid in range(10):
+        dist = ((V - V[qid]) ** 2).sum(axis=1)
+        order = np.argsort(dist, kind="stable")
+        exact[qid] = {int(j) for j in order if j != qid}
+
+    def mean_recall(m_sub, sub_dim, n_codes):
+        got = pq_adc_topk(
+            emb, queries, k=10, m_sub=m_sub, sub_dim=sub_dim,
+            n_codes=n_codes,
+        ).collect()
+        per = []
+        for qid in range(10):
+            mine = {r["neighbor_id"] for r in got if r["query_id"] == qid}
+            top = {
+                int(j)
+                for j in sorted(
+                    exact[qid],
+                    key=lambda i: (((V[i] - V[qid]) ** 2).sum(), i),
+                )[:10]
+            }
+            per.append(len(mine & top) / 10)
+        return sum(per) / len(per)
+
+    assert mean_recall(32, 2, 64) >= 0.7
+    assert mean_recall(64, 1, 64) >= 0.85
