@@ -674,6 +674,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ (the FAISS production shape): IVF cell pruning composed
     with PQ code scanning — each query probes its ``n_probe`` nearest
@@ -683,10 +684,20 @@ def ivf_pq_topk(
     O(N * n_probe / n_centroids), and the scanned relation is the
     compressed code table — the two scale levers multiply.
 
+    ``index``: optionally pass the precomputed ``(codes, cells)``
+    relations — ``pq_encode(...)`` with (vec_id, codes) and
+    ``ivf_assign(...)`` with (vec_id, cell) — the production shape: at
+    corpus scale the index is built once per snapshot and stored (it IS
+    the compressed corpus), and per-query-batch cost is then just the
+    probe joins; ``None`` derives both from ``embeddings`` inline.
+    Results are identical either way (pinned in tests).
+
     Classic FAISS encodes RESIDUALS (vector minus cell centroid) for
     accuracy; codes here quantize the raw vector — same plumbing,
     schema, and plan shape, chosen so the whole operator (assignment,
-    encoding, ADC) stays SQL-expressible for the oracle. Determinism
+    encoding, ADC) stays SQL-expressible for the oracle. (Residuals
+    were probed on the clustered fixture and read WORSE there —
+    cluster residuals are iid noise, nothing to quantize.) Determinism
     and output contract identical to pq_adc_topk (nano-int order-free
     sums; (query_id, rank, neighbor_id, adc_dist) ascending)."""
     from pyspark.sql import Window
@@ -706,13 +717,16 @@ def ivf_pq_topk(
         .select("query_id", "cell", "q_vec")
     )
 
-    enc = pq_encode(
-        embeddings, m_sub, sub_dim, n_codes, vec_col, id_col
-    ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    if index is not None:
+        codes_rel, cells_rel = index
+    else:
+        codes_rel = pq_encode(
+            embeddings, m_sub, sub_dim, n_codes, vec_col, id_col
+        )
+        cells_rel = ivf_assign(embeddings, n_centroids, vec_col, id_col)
+    enc = codes_rel.select(F.col(id_col).alias("neighbor_id"), "codes")
     cand = enc.join(
-        ivf_assign(embeddings, n_centroids, vec_col, id_col).select(
-            F.col(id_col).alias("neighbor_id"), "cell"
-        ),
+        cells_rel.select(F.col(id_col).alias("neighbor_id"), "cell"),
         "neighbor_id",
     )
 

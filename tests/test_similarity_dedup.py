@@ -679,3 +679,23 @@ def test_pq_finer_subspaces_on_clustered_embeddings(spark) -> None:
 
     assert mean_recall(32, 2, 64) >= 0.7
     assert mean_recall(64, 1, 64) >= 0.85
+
+
+def test_ivf_pq_precomputed_index_is_identical(spark, emb) -> None:
+    """The production path — passing the stored (codes, cells) index
+    relations — returns exactly the inline-derived results."""
+    from don_crawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_pq_topk,
+        pq_encode,
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = ivf_pq_topk(emb, queries, k=10).collect()
+    stored = ivf_pq_topk(
+        emb,
+        queries,
+        k=10,
+        index=(pq_encode(emb), ivf_assign(emb, 16)),
+    ).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, stored))
