@@ -84,6 +84,12 @@ def run_crawl(
     transient = None
     if os.path.exists(f"{corpus_dir}/transient.parquet"):
         transient = spark.read.parquet(f"{corpus_dir}/transient.parquet")
+    redirects = None
+    if os.path.exists(f"{corpus_dir}/redirects.parquet"):
+        redirects = spark.read.parquet(f"{corpus_dir}/redirects.parquet")
+        # tolerate pre-redirect cached corpora AND empty tables alike
+        if redirects.isEmpty():
+            redirects = None
 
     summary = CrawlSummary()
     start_round = store.latest_round()
@@ -144,7 +150,7 @@ def run_crawl(
         t0 = time.monotonic()
         out = run_round(
             cfg, rnd, frontier, seen, pages, robots, budgets,
-            bloom=bloom, transient=transient,
+            bloom=bloom, transient=transient, redirects=redirects,
             fetch_join=_choose_fetch_join(n_frontier, cfg),
         )
 

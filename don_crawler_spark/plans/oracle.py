@@ -56,6 +56,10 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
     if os.path.exists(f"{corpus_dir}/transient.parquet"):
         t_tbl = pq.read_table(f"{corpus_dir}/transient.parquet").to_pydict()
         transient = dict(zip(t_tbl["url"], t_tbl["fail_rounds"]))
+    redirects: dict[str, str] = {}
+    if os.path.exists(f"{corpus_dir}/redirects.parquet"):
+        r_tbl = pq.read_table(f"{corpus_dir}/redirects.parquet").to_pydict()
+        redirects = dict(zip(r_tbl["url"], r_tbl["target"]))
     robots_tbl = pq.read_table(f"{corpus_dir}/robots.parquet").to_pydict()
     robots: dict[str, list[tuple[str, bool]]] = {}
     for h, p, a in zip(
@@ -140,7 +144,12 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
         n_503 = 0
         for seq, (rank, host, url) in enumerate(selected, start=1):
             html = pages.get(url)
-            if html is None:
+            # 301 first: aliases have no page row (must not read 404) and
+            # a redirect is final even inside a transient window — the
+            # engine's when-chain order (plans/round.py)
+            if url in redirects:
+                status = 301
+            elif html is None:
                 status = 404
             elif url in transient and rnd <= transient[url]:
                 status = 503
@@ -148,6 +157,15 @@ def crawl_oracle(corpus_dir: str, config: CrawlConfig | None = None) -> OracleRe
                 status = 200
             res.trace.append((rnd, seq, host, url, status))
             frontier.pop(url, None)
+            if status == 301:
+                res.seen[url] = (xxhash64_str(url), rnd)
+                fetched_depth = depth_of[url]
+                if fetched_depth + 1 <= cfg.max_depth:
+                    n_links += 1
+                    canon = canonicalize_url(redirects[url], base=url)
+                    if canon not in res.seen:
+                        add_frontier(canon, fetched_depth + 1, url)
+                continue
             if status == 503:
                 # P6/P7 bounded retry: requeue with attempts+1 until the
                 # budget is exhausted, then abandon (enters seen)

@@ -181,6 +181,7 @@ def run_round(
     persist: bool = True,
     transient: DataFrame | None = None,
     fetch_join: str = "broadcast",
+    redirects: DataFrame | None = None,
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
@@ -404,9 +405,27 @@ def run_round(
         "left",
     ).drop("p_hash", "p_url")
 
-    # status: no page -> 404 (dead link); transient window -> 503 (P6/P7
-    # retry path); else 200. 503 attempts yield no text/links.
-    status = F.when(F.col("text").isNull(), F.lit(404))
+    # redirect aliases: a tiny dimension (url -> target) joined broadcast;
+    # a matched row is a 301 whose only "link" is its Location target.
+    if redirects is not None:
+        r = redirects.select(
+            F.col("url").alias("r_url"), F.col("target").alias("r_target")
+        )
+        fetched_raw = fetched_raw.join(
+            F.broadcast(r), fetched_raw["url"] == r["r_url"], "left"
+        ).drop("r_url")
+    else:
+        fetched_raw = fetched_raw.withColumn(
+            "r_target", F.lit(None).cast("string")
+        )
+
+    # status: redirect alias -> 301 (checked first: aliases have no page
+    # row and must not read as 404, and a 301 is final even in a
+    # transient window); no page -> 404 (dead link); transient window ->
+    # 503 (P6/P7 retry path); else 200. 503 attempts yield no text/links.
+    status = F.when(F.col("r_target").isNotNull(), F.lit(301)).when(
+        F.col("text").isNull(), F.lit(404)
+    )
     if transient is not None:
         t = transient.select(
             F.col("url").alias("t_url"), F.col("fail_rounds").alias("fail_rounds")
@@ -431,7 +450,14 @@ def run_round(
             F.when(
                 (F.col("status") == 200) & (F.col("depth") + 1 <= cfg.max_depth),
                 F.col("links"),
-            ).otherwise(F.array().cast("array<string>")),
+            )
+            .when(
+                # a 301's single outlink is its Location target, resolved
+                # downstream against the alias URL like any href
+                (F.col("status") == 301) & (F.col("depth") + 1 <= cfg.max_depth),
+                F.array(F.col("r_target")),
+            )
+            .otherwise(F.array().cast("array<string>")),
         )
         .withColumn(
             # a 503 whose retry budget is not exhausted requeues and must

@@ -101,6 +101,7 @@ def generate_corpus(
     budget_scale: int = 1,
     extra_paragraphs: int = 0,
     transient_rate: float = 0.03,
+    redirect_rate: float = 0.0,
 ) -> dict[str, str]:
     """Write the corpus tables as parquet; returns {table: path}.
 
@@ -108,6 +109,12 @@ def generate_corpus(
     larger indices (a DAG flowing away from the seeds) plus occasional
     back-links, so a breadth-first crawl from the seed hubs reaches a
     large fraction of the corpus over several rounds.
+
+    ``redirect_rate``: fraction of pages that additionally get a 301
+    alias URL (written to redirects.parquet as url -> target and
+    injected as out-links of other pages). Uses a SEPARATE rng stream so
+    the default rate (0.0) leaves every other table byte-identical —
+    the pinned golden traces stay valid.
     """
     rng = random.Random(seed)
     hosts = _hosts(rng, n_hosts)
@@ -195,6 +202,23 @@ def generate_corpus(
                 )
         links_of.append(styled)
         dead_of.append(dead)
+
+    # --- 301 redirect aliases -------------------------------------------------
+    # crawl-tier semantics: an alias URL that is not a page but maps to one
+    # (redirects.parquet: url -> target); the crawl must fetch it as 301 and
+    # enqueue the target. A separate rng keeps the main stream untouched so
+    # redirect_rate=0 corpora are byte-identical to pre-redirect ones.
+    redirect_rows: list[tuple[str, str]] = []
+    if redirect_rate > 0:
+        rrng = random.Random(seed * 7919 + 13)
+        for i in range(n_pages):
+            if rrng.random() < redirect_rate:
+                alias = f"https://{page_hosts[i]}/r{i % 97}/alias{i}"
+                redirect_rows.append((alias, urls[i]))
+                # inject the alias as an out-link of 1-2 pages so a BFS
+                # from the seeds actually reaches it
+                for _ in range(rrng.randint(1, 2)):
+                    links_of[rrng.randrange(n_pages)].append(alias)
 
     # --- page bodies + golden text ------------------------------------------
     htmls: list[bytes] = []
@@ -308,6 +332,18 @@ def generate_corpus(
     )
     paths["transient"] = os.path.join(out_dir, "transient.parquet")
     pq.write_table(transient_tbl, paths["transient"])
+
+    # 301 aliases (possibly empty). NOT in CORPUS_TABLES: corpora cached
+    # before this table existed stay valid — loaders treat a missing file
+    # as "no redirects".
+    redirects_tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in redirect_rows], pa.string()),
+            "target": pa.array([r[1] for r in redirect_rows], pa.string()),
+        }
+    )
+    paths["redirects"] = os.path.join(out_dir, "redirects.parquet")
+    pq.write_table(redirects_tbl, paths["redirects"])
 
     return paths
 

@@ -154,3 +154,67 @@ def test_resume_loses_at_most_one_round(
     seen = store.read_seen(spark, full.rounds)
     got_seen = {r["url"]: (r["url_hash"], r["first_round"]) for r in seen.collect()}
     assert got_seen == oracle.seen
+
+
+# --- 301 redirect aliases -----------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def redirect_corpus(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("corpus_redir"))
+    generate_corpus(
+        out, n_pages=300, n_hosts=12, seed=42, n_publishers=4,
+        redirect_rate=0.15,
+    )
+    return out
+
+
+def test_redirect_corpus_parity(spark, redirect_corpus, tmp_path_factory) -> None:
+    """301 semantics end-to-end: aliases fetch as status 301, enqueue
+    exactly their Location target, enter the seen-set, and the engine
+    reproduces the oracle's trace / seen-set exactly. The same seed
+    without redirects must stay byte-identical (separate rng stream), so
+    the pinned golden traces remain valid."""
+    from don_crawler_spark.plans.checkpoint import CheckpointStore
+    from don_crawler_spark.plans.driver import run_crawl
+
+    oracle = crawl_oracle(redirect_corpus, CFG)
+    statuses = {s for (_, _, _, _, s) in oracle.trace}
+    assert 301 in statuses, "redirect aliases should be crawled"
+    assert statuses >= {200, 301, 404}
+    n_301 = sum(1 for (_, _, _, _, s) in oracle.trace if s == 301)
+    assert n_301 >= 3, f"expected several 301 fetches, got {n_301}"
+
+    ckpt = str(tmp_path_factory.mktemp("ckpt_redir"))
+    summary = run_crawl(spark, redirect_corpus, ckpt, CFG)
+    assert summary.rounds == oracle.rounds
+    got = _engine_trace(spark, ckpt, summary.rounds)
+    want = sorted(oracle.trace)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, f"trace row diverged: engine={g} oracle={w}"
+
+    store = CheckpointStore(ckpt)
+    seen = store.read_seen(spark, summary.rounds)
+    got_seen = {r["url"]: (r["url_hash"], r["first_round"]) for r in seen.collect()}
+    assert got_seen == oracle.seen
+
+
+def test_redirect_rate_zero_leaves_corpus_identical(tmp_path_factory) -> None:
+    """redirect_rate uses a separate rng stream: the default corpus is
+    byte-identical with the parameter absent vs explicit 0.0 (pages,
+    links, budgets — everything the golden traces pin)."""
+    import pyarrow.parquet as pq_
+
+    a = str(tmp_path_factory.mktemp("corpus_a"))
+    b = str(tmp_path_factory.mktemp("corpus_b"))
+    generate_corpus(a, n_pages=120, n_hosts=8, seed=7, n_publishers=3)
+    generate_corpus(
+        b, n_pages=120, n_hosts=8, seed=7, n_publishers=3, redirect_rate=0.0
+    )
+    for tbl in ("pages.parquet", "seeds.parquet", "robots.parquet",
+                "host_budgets.parquet", "transient.parquet"):
+        ta = pq_.read_table(f"{a}/{tbl}")
+        tb = pq_.read_table(f"{b}/{tbl}")
+        assert ta.equals(tb), tbl
+    assert pq_.read_table(f"{a}/redirects.parquet").num_rows == 0
