@@ -3359,6 +3359,247 @@ def crawl_trace(spark, sf_dir):
     )
 
 
+# --- WARC response records, CDX capture index, recrawl scheduling -----------
+
+
+@_q(
+    "http_response_parse",
+    # Oracle = the identity parse(format(...)) must satisfy, closed-form
+    # from the same doc_id arithmetic. Exercises: optional reason phrase,
+    # case-insensitive header names, FIRST-occurrence-wins on duplicate
+    # Content-Type, absent Content-Length -> null, horizontal-only value
+    # trim, and bodies containing their own blank lines.
+    """SELECT doc_id,
+       CAST(CASE doc_id % 10 WHEN 0 THEN 404 WHEN 1 THEN 301
+            WHEN 2 THEN 503 ELSE 200 END AS INT) AS status_code,
+       CASE doc_id % 10 WHEN 0 THEN 'Not Found'
+            WHEN 1 THEN 'Moved Permanently'
+            WHEN 2 THEN 'Service Unavailable'
+            WHEN 3 THEN '' ELSE 'OK' END AS reason,
+       'text/html; charset=utf-8' AS content_type,
+       CASE WHEN doc_id % 11 <> 0
+            THEN CAST(octet_length(encode(text)) AS BIGINT) END
+         AS content_length,
+       CAST(2 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END AS INT)
+         AS n_headers,
+       text || CASE WHEN doc_id % 13 = 0
+                    THEN chr(13) || chr(10) || chr(13) || chr(10)
+                         || '<after a blank line>'
+                    ELSE '' END AS body
+FROM documents""",
+)
+def http_parse_q(spark, sf_dir):
+    """WARC ``response``-record payload parsing (functions/http.py):
+    render each document as a raw HTTP/1.1 response (status line +
+    headers + body), then recover every field with the pure-codegen
+    parse expressions. Adversarial shapes are driven by doc_id: missing
+    reason phrase (%10==3), lowercase header name (%5==0), duplicate
+    Content-Type where the FIRST must win (%7==0), absent
+    Content-Length (%11==0), body containing a blank line (%13==0)."""
+    from don_crawler_spark.functions.http import (
+        format_http_response,
+        parse_http_response,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    m10 = F.col("doc_id") % 10
+    status = (
+        F.when(m10 == 0, 404)
+        .when(m10 == 1, 301)
+        .when(m10 == 2, 503)
+        .otherwise(200)
+        .cast("int")
+    )
+    reason = (
+        F.when(m10 == 0, "Not Found")
+        .when(m10 == 1, "Moved Permanently")
+        .when(m10 == 2, "Service Unavailable")
+        .when(m10 == 3, "")
+        .otherwise("OK")
+    )
+    ct_name = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("content-type")
+    ).otherwise(F.lit("Content-Type"))
+    headers = F.concat(
+        ct_name,
+        F.lit(": text/html; charset=utf-8"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\r\nContent-Type: bogus/duplicate"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 != 0,
+            F.concat(
+                F.lit("\r\nContent-Length: "),
+                F.octet_length("text").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("\r\nX-Rate-Limit-Remaining: "),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\r\n\r\n<after a blank line>")
+        ).otherwise(F.lit("")),
+    )
+    raw = format_http_response(status, reason, headers, body)
+    return docs.select("doc_id", raw.alias("raw")).select(
+        "doc_id", *parse_http_response(F.col("raw"))
+    )
+
+
+@_q(
+    "warc_cdx_index",
+    # Oracle replays the SURT transform relationally and the offset
+    # layout with the single-window definition the engine must equal.
+    # SUM(BIGINT) comes back HUGEINT in DuckDB -> CAST keeps the dtypes
+    # strict-repr identical.
+    """WITH recs AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      || source || '.Example.org'
+      || (CASE WHEN doc_id % 17 = 0 THEN ':8080' ELSE '' END)
+      || '/D/' || CAST(doc_id AS VARCHAR) AS url,
+    '2026082' || CAST(doc_id % 10 AS VARCHAR) || '000000' AS warc_ts,
+    CASE WHEN doc_id % 9 = 0 THEN 'text/plain' ELSE 'text/html' END AS mime,
+    CAST(CASE WHEN doc_id % 10 = 0 THEN 404 ELSE 200 END AS INT)
+      AS status_code,
+    md5(text) AS digest,
+    'crawl-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS filename,
+    doc_id AS seq,
+    CAST(256 + octet_length(encode(text)) AS BIGINT) AS rec_bytes
+  FROM documents),
+parts AS (
+  SELECT *,
+    split_part(lower(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', '')),
+               '/', 1) AS hostport,
+    substr(lower(regexp_replace(url, '^[a-z][a-z0-9+.-]*://', '')),
+           length(split_part(lower(regexp_replace(url,
+             '^[a-z][a-z0-9+.-]*://', '')), '/', 1)) + 1) AS pth
+  FROM recs)
+SELECT
+  array_to_string(list_reverse(string_split(
+      regexp_replace(split_part(hostport, ':', 1), '^www\\.', ''), '.')),
+    ',') || ')' || pth AS surt_key,
+  warc_ts, url, mime, status_code, digest, filename,
+  CAST(COALESCE(SUM(rec_bytes) OVER (PARTITION BY filename ORDER BY seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS "offset",
+  rec_bytes AS length
+FROM parts""",
+)
+def cdx_q(spark, sf_dir):
+    """CDX capture index (sources/warc.cdx_index): SURT sort keys +
+    per-file (offset, length) byte locators over synthesized capture
+    metadata. URL shapes exercise scheme/case/www/port normalization
+    (functions/urls.surt_key); offsets are the running record-size sum
+    within each WARC file (ONE exchange on filename, bounded
+    partitions)."""
+    from don_crawler_spark.sources.warc import cdx_index
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "http://").otherwise("https://"),
+        F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
+        F.col("source"),
+        F.lit(".Example.org"),
+        F.when(F.col("doc_id") % 17 == 0, ":8080").otherwise(""),
+        F.lit("/D/"),
+        F.col("doc_id").cast("string"),
+    )
+    recs = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("2026082"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("000000"),
+        ).alias("warc_ts"),
+        F.when(F.col("doc_id") % 9 == 0, "text/plain")
+        .otherwise("text/html")
+        .alias("mime"),
+        F.when(F.col("doc_id") % 10 == 0, 404)
+        .otherwise(200)
+        .cast("int")
+        .alias("status_code"),
+        F.md5("text").alias("digest"),
+        F.concat(
+            F.lit("crawl-"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("filename"),
+        F.col("doc_id").alias("seq"),
+        (F.lit(256) + F.octet_length("text")).cast("long").alias("rec_bytes"),
+    )
+    return cdx_index(recs)
+
+
+@_q(
+    "crawl_revisit_priority",
+    # Cho & Garcia-Molina 2003 change-rate estimator; the fetch history
+    # is synthesized deterministically (md5 draw vs a per-source integer
+    # threshold). The single ln() is pinned to integer nano-units before
+    # any further arithmetic, so both engines divide identical BIGINTs.
+    """WITH hist AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+           || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+           < ((CAST(substr(source, 4) AS INT) % 5) * 2 + 1)
+             * CAST(429496730 AS BIGINT) AS changed
+  FROM documents, (SELECT unnest(range(0, 6)) AS k)),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_checks,
+         CAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS INT) AS n_changed
+  FROM hist GROUP BY doc_id),
+est AS (
+  SELECT *,
+         CAST(round(-ln((n_checks - n_changed + 0.5) / (n_checks + 0.5))
+           / 7 * 1e9) AS BIGINT) AS lambda_nano_per_day
+  FROM agg)
+SELECT doc_id, n_checks, n_changed, lambda_nano_per_day,
+       CAST(CASE WHEN lambda_nano_per_day = 0 THEN 365
+            ELSE least(365, greatest(1, CAST(round(693147181
+              / CAST(lambda_nano_per_day AS DOUBLE)) AS INT)))
+            END AS INT) AS revisit_days
+FROM est""",
+)
+def revisit_q(spark, sf_dir):
+    """Recrawl scheduling (operators/recrawl.py): 6 deterministic
+    checks per doc with per-source change probability (~0.1..0.9 via
+    exact integer thresholds on a 32-bit md5 draw), then the Poisson
+    change-rate estimate and half-life revisit interval. One
+    partial-agg shuffle carrying two ints per key."""
+    from don_crawler_spark.operators.recrawl import revisit_schedule
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = (
+        (F.substring("source", 4, 10).cast("int") % 5) * 2 + 1
+    ).cast("long") * 429496730
+    hist = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+        "source",
+    ).select("doc_id", (u32 < thr).alias("changed"))
+    return revisit_schedule(hist, interval_days=7)
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -95,6 +95,9 @@ HEADLINE_QUERIES = [
     "wet_record_roundtrip",
     "robots_txt_parse",
     "sitemap_parse",
+    "http_response_parse",
+    "warc_cdx_index",
+    "crawl_revisit_priority",
 ]
 
 

@@ -231,3 +231,33 @@ def ensure_description(
         F.nullif(name, F.lit("")),
         F.lit("No description provided"),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the sort key
+    of Common Crawl's CDX capture index: reversed host components
+    joined by commas, a ``)``, then the path, all lowercased; scheme,
+    a leading ``www.`` label, and any port are dropped so the
+    http/https/www variants of one resource sort adjacently.
+
+        https://www.Sub.Example.com:443/Path -> com,example,sub)/path
+
+    Pure codegen expressions (split/reverse/concat) — map-side, zero
+    Python. Userinfo (``user@host``) is out of contract: the crawl's
+    canonicalizer never emits it, and Common Crawl's own SURT drops
+    captures carrying it.
+    """
+    rest = F.lower(F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", ""))
+    hostport = F.substring_index(rest, "/", 1)
+    host = F.regexp_replace(
+        F.substring_index(hostport, ":", 1), r"^www\.", ""
+    )
+    path = F.when(
+        rest.contains("/"),
+        F.substr(rest, F.length(hostport) + F.lit(1)),
+    ).otherwise(F.lit("/"))
+    return F.concat(
+        F.array_join(F.reverse(F.split(host, r"\.")), ","),
+        F.lit(")"),
+        path,
+    )

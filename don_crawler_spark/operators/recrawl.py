@@ -1,0 +1,72 @@
+"""Recrawl scheduling: change-rate estimation over fetch history.
+
+A production crawler re-visits pages at a rate matched to how often
+they change. The standard estimator (Cho & Garcia-Molina 2003,
+"Estimating frequency of change") models page updates as a Poisson
+process observed through n equally-spaced checks of which X detected a
+change; the bias-corrected rate estimate is::
+
+    lambda = -ln((n - X + 0.5) / (n + 0.5)) / interval
+
+(the +0.5 terms keep X == n finite). The revisit interval is then
+``ln 2 / lambda`` — the half-life at which the page has a 50% chance of
+having changed — clamped to [1, 365] days; a page never seen changing
+(X == 0, rate exactly 0) pins to the 365-day ceiling, so even static
+pages are eventually re-checked.
+
+Engine shape: the per-check history collapses with ONE partial-agg
+groupBy on the 8-byte url key (map-side combine reduces each partition
+to one (n, X) pair per key before the exchange — the shuffle carries
+two ints per URL, never the history), then the estimator is a map-side
+scalar projection. No window, no skew (url keys are unique), no Python.
+
+Cross-engine determinism: the only transcendental is the single
+``ln`` over one of a handful of exact rationals (X in 0..n); its result
+is scaled to integer nano-units per day BEFORE any further arithmetic,
+so the DuckDB oracle replays the output bit-for-bit and the revisit-day
+division runs over identical BIGINT operands in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ln 2 in integer nano-units — shared with the oracle SQL
+LN2_NANO = 693147181
+
+
+def revisit_schedule(history: DataFrame, interval_days: int = 7) -> DataFrame:
+    """``history``: one row per (url-key, check) with a boolean
+    ``changed`` column — key column name is whatever the first column
+    is called (doc_id / url_hash). Returns per-key change-rate and
+    revisit schedule."""
+    key = history.columns[0]
+    agg = history.groupBy(key).agg(
+        F.count("*").cast("int").alias("n_checks"),
+        F.sum(F.col("changed").cast("int")).cast("int").alias("n_changed"),
+    )
+    n = F.col("n_checks").cast("double")
+    x = F.col("n_changed").cast("double")
+    # rate in nano-(changes/day): integer-pinned so downstream division
+    # is exact-operand-identical across engines
+    lam_nano = F.round(
+        -F.log((n - x + 0.5) / (n + 0.5)) / interval_days * 1e9
+    ).cast("long")
+    # try_divide: lam == 0 (X == 0, never seen changing) -> null instead
+    # of an ANSI abort; the null must be pinned to the 365-day ceiling
+    # BEFORE the clamp — Spark's greatest/least SKIP nulls (greatest(1,
+    # null) == 1), they don't propagate them
+    half_life = F.round(
+        F.try_divide(F.lit(LN2_NANO), lam_nano.cast("double"))
+    ).cast("int")
+    revisit = F.when(half_life.isNull(), 365).otherwise(
+        F.least(F.lit(365), F.greatest(F.lit(1), half_life))
+    )
+    return agg.select(
+        key,
+        "n_checks",
+        "n_changed",
+        lam_nano.alias("lambda_nano_per_day"),
+        revisit.alias("revisit_days"),
+    )

@@ -207,3 +207,45 @@ def write_wet(df: DataFrame, path: str) -> None:
             F.col("target_uri"), F.col("warc_date"), F.col("text")
         ).alias("value")
     ).write.mode("overwrite").text(path)
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """Build a CDX-style capture index over WARC record metadata — the
+    Common Crawl index artifact (one row per capture: SURT sort key,
+    timestamp, original URL, mime, status, payload digest, and the
+    record's (filename, offset, length) byte locator for random access
+    into the archive).
+
+    Input: one row per record with columns ``url, warc_ts, mime,
+    status_code, digest, filename, seq, rec_bytes`` — ``seq`` is the
+    record's capture order within its file, ``rec_bytes`` its full
+    on-disk record size. The offset is the running sum of every EARLIER
+    record's size in the same file (offset of record 0 is 0) — exactly
+    the layout a sequential WARC writer produces.
+
+    Scale: ONE hash exchange on ``filename``; each window partition is
+    one WARC file, bounded by the format itself (~1 GB / ~50k records
+    per segment file), so the per-partition sort never spills and no
+    key skews. Only metadata crosses the exchange — payloads stay in
+    the archive. The SURT key is pure codegen (functions/urls.surt_key).
+    """
+    from pyspark.sql import Window
+
+    from don_crawler_spark.functions.urls import surt_key
+
+    w = (
+        Window.partitionBy("filename")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return records.select(
+        surt_key(F.col("url")).alias("surt_key"),
+        "warc_ts",
+        "url",
+        "mime",
+        "status_code",
+        "digest",
+        "filename",
+        F.coalesce(F.sum("rec_bytes").over(w), F.lit(0)).alias("offset"),
+        F.col("rec_bytes").alias("length"),
+    )

@@ -1,0 +1,226 @@
+"""HTTP response parsing, SURT/CDX index, and recrawl-scheduling tests:
+adversarial record shapes, from-scratch estimator replay, and the
+plan shapes the modules promise (map-side parse, one exchange for CDX).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from don_crawler_spark.functions.http import parse_http_response
+from don_crawler_spark.functions.urls import surt_key
+from don_crawler_spark.operators.recrawl import LN2_NANO, revisit_schedule
+from don_crawler_spark.sources.warc import cdx_index
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# HTTP response parsing
+# ---------------------------------------------------------------------------
+
+_RESPONSES = {
+    # the plain case
+    "plain": (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        "Content-Length: 5\r\n\r\nhello"
+    ),
+    # reason phrase with spaces; header value with interior spaces and
+    # trailing horizontal whitespace (must be trimmed)
+    "spaces": (
+        "HTTP/1.1 503 Service Unavailable\r\n"
+        "Content-Type: text/html; charset=utf-8 \t\r\n\r\nx"
+    ),
+    # no reason phrase at all
+    "noreason": "HTTP/1.1 204\r\nContent-Length: 0\r\n\r\n",
+    # EMPTY header value: must come back '' (present), not swallow the
+    # next line's token; next header must still parse
+    "emptyval": (
+        "HTTP/1.1 200 OK\r\nContent-Type:\r\nContent-Length: 2\r\n\r\nok"
+    ),
+    # duplicate header: FIRST occurrence wins
+    "dup": (
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        "Content-Type: smuggled/override\r\n\r\nbody"
+    ),
+    # body containing its own blank lines: split on the FIRST only
+    "blankbody": (
+        "HTTP/1.1 200 OK\r\n\r\nfirst\r\n\r\nsecond\r\n\r\nthird"
+    ),
+    # headerless response: status line, blank line, body
+    "bare": "HTTP/1.1 404 Not Found\r\n\r\ngone",
+    # malformed: no HTTP preamble -> null status, degrade don't abort
+    "garbage": "<!DOCTYPE html><html>not a response</html>",
+    # truncated: no blank line -> null body
+    "truncated": "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n",
+}
+
+
+def test_http_parse_adversarial_shapes(spark) -> None:
+    df = spark.createDataFrame(
+        [(k, v) for k, v in _RESPONSES.items()], "name string, raw string"
+    )
+    rows = {
+        r["name"]: r
+        for r in df.select("name", *parse_http_response(F.col("raw"))).collect()
+    }
+    plain = rows["plain"]
+    assert (plain["status_code"], plain["reason"]) == (200, "OK")
+    assert plain["content_type"] == "text/html"
+    assert plain["content_length"] == 5
+    assert plain["n_headers"] == 2
+    assert plain["body"] == "hello"
+
+    sp = rows["spaces"]
+    assert sp["reason"] == "Service Unavailable"
+    assert sp["content_type"] == "text/html; charset=utf-8"
+    assert sp["content_length"] is None
+
+    nr = rows["noreason"]
+    assert (nr["status_code"], nr["reason"]) == (204, "")
+    assert nr["content_length"] == 0
+    assert nr["body"] == ""
+
+    ev = rows["emptyval"]
+    assert ev["content_type"] == ""  # present-but-empty, not null
+    assert ev["content_length"] == 2
+    assert ev["body"] == "ok"
+
+    assert rows["dup"]["content_type"] == "text/plain"
+
+    bb = rows["blankbody"]
+    assert bb["n_headers"] == 0
+    assert bb["body"] == "first\r\n\r\nsecond\r\n\r\nthird"
+
+    bare = rows["bare"]
+    assert bare["content_type"] is None
+    assert bare["body"] == "gone"
+
+    g = rows["garbage"]
+    assert g["status_code"] is None
+    assert g["content_length"] is None
+
+    assert rows["truncated"]["body"] is None
+
+
+def test_http_parse_is_map_side(spark) -> None:
+    df = spark.createDataFrame([("HTTP/1.1 200 OK\r\n\r\nx",)], "raw string")
+    plan = _plan(df.select(*parse_http_response(F.col("raw"))))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# SURT + CDX
+# ---------------------------------------------------------------------------
+
+
+def test_surt_key_shapes(spark) -> None:
+    cases = [
+        ("https://www.Sub.Example.com:443/Path/X", "com,example,sub)/path/x"),
+        ("http://example.com/", "com,example)/"),
+        ("http://example.com", "com,example)/"),  # no path -> '/'
+        ("https://a.b.c.d.org:8080/x?Q=1", "org,d,c,b,a)/x?q=1"),
+        ("http://WWW.UPPER.NET/p", "net,upper)/p"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.select(surt_key(F.col("url")).alias("got"), "want").where(
+        F.col("got") != F.col("want")
+    )
+    assert bad.count() == 0
+
+
+def test_cdx_offsets_are_per_file_running_sums(spark) -> None:
+    # two files, interleaved seq; offsets must restart per file and
+    # accumulate EARLIER records only
+    rows = [
+        # url, ts, mime, status, digest, filename, seq, rec_bytes
+        ("http://a.com/1", "t1", "text/html", 200, "d1", "f0", 0, 100),
+        ("http://a.com/2", "t2", "text/html", 200, "d2", "f0", 1, 250),
+        ("http://a.com/3", "t3", "text/html", 200, "d3", "f0", 2, 50),
+        ("http://b.com/1", "t4", "text/html", 200, "d4", "f1", 0, 999),
+        ("http://b.com/2", "t5", "text/html", 200, "d5", "f1", 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, warc_ts string, mime string, status_code int, "
+        "digest string, filename string, seq long, rec_bytes long",
+    )
+    got = {
+        (r["filename"], r["url"]): (r["offset"], r["length"])
+        for r in cdx_index(df).collect()
+    }
+    assert got[("f0", "http://a.com/1")] == (0, 100)
+    assert got[("f0", "http://a.com/2")] == (100, 250)
+    assert got[("f0", "http://a.com/3")] == (350, 50)
+    assert got[("f1", "http://b.com/1")] == (0, 999)
+    assert got[("f1", "http://b.com/2")] == (999, 1)
+
+
+def test_cdx_plan_one_exchange_no_python(spark) -> None:
+    df = spark.createDataFrame(
+        [("http://a.com/1", "t", "m", 200, "d", "f", 0, 10)],
+        "url string, warc_ts string, mime string, status_code int, "
+        "digest string, filename string, seq long, rec_bytes long",
+    )
+    plan = _plan(cdx_index(df))
+    assert plan.count("Exchange") == 1  # the filename window, nothing else
+    assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# recrawl scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_revisit_estimator_matches_from_scratch_replay(spark) -> None:
+    """All seven (n=6, X) outcomes vs an independent math.log replay AND
+    DuckDB's ln — the cross-engine determinism the oracle depends on."""
+    rows = [
+        (doc, k, k < x) for x in range(7) for doc in [x] for k in range(6)
+    ]
+    hist = spark.createDataFrame(rows, "doc_id long, k int, changed boolean")
+    got = {
+        r["doc_id"]: r
+        for r in revisit_schedule(hist.select("doc_id", "changed"), 7).collect()
+    }
+    duck = dict(
+        duckdb.sql(
+            "SELECT x, CAST(round(-ln((6 - x + 0.5) / 6.5) / 7 * 1e9) AS BIGINT)"
+            " FROM range(7) t(x)"
+        ).fetchall()
+    )
+    for x in range(7):
+        lam_py = -math.log((6 - x + 0.5) / 6.5) / 7 * 1e9
+        r = got[x]
+        assert r["n_checks"] == 6 and r["n_changed"] == x
+        assert r["lambda_nano_per_day"] == round(lam_py) == duck[x]
+        if x == 0:
+            assert r["revisit_days"] == 365  # rate 0 -> ceiling, not abort
+        else:
+            expect = min(365, max(1, round(LN2_NANO / r["lambda_nano_per_day"])))
+            assert r["revisit_days"] == expect
+    # X == n at interval 7: half-life ln2/(ln13/7) = 1.89 days -> 2
+    assert got[6]["revisit_days"] == 2
+    # the 1-day floor needs a faster cadence: X == n at interval 1 gives
+    # half-life 0.27 days, round -> 0, clamped up to 1
+    fast = revisit_schedule(
+        hist.where(F.col("doc_id") == 6).select("doc_id", "changed"), 1
+    ).collect()[0]
+    assert fast["revisit_days"] == 1
+
+
+def test_revisit_shuffle_carries_two_ints(spark) -> None:
+    hist = spark.createDataFrame(
+        [(1, True), (1, False)], "doc_id long, changed boolean"
+    )
+    plan = _plan(revisit_schedule(hist))
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert "Python" not in plan
