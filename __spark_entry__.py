@@ -3600,6 +3600,55 @@ def revisit_q(spark, sf_dir):
     return revisit_schedule(hist, interval_days=7)
 
 
+@_q(
+    "graph_anchor_text",
+    # links synthesized closed-form from doc_id (3 outlinks per doc,
+    # 5-anchor vocabulary); oracle is the single-window definition of
+    # the top-k the partial-agg + window engine shape must equal.
+    """WITH links AS (
+  SELECT 'page-' || CAST((doc_id * (j + 1) + j) % 97 AS VARCHAR) AS dst,
+         'anchor-' || CAST((doc_id + j) % 5 AS VARCHAR) AS anchor
+  FROM documents, (SELECT unnest(range(0, 3)) AS j)),
+pa AS (
+  SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM links GROUP BY dst, anchor),
+r AS (
+  SELECT dst, anchor, cnt,
+         CAST(SUM(cnt) OVER (PARTITION BY dst) AS BIGINT) AS n_inlinks,
+         CAST(COUNT(*) OVER (PARTITION BY dst) AS BIGINT) AS n_anchors,
+         ROW_NUMBER() OVER (PARTITION BY dst
+           ORDER BY cnt DESC, anchor) AS rank
+  FROM pa)
+SELECT dst, n_inlinks, n_anchors, CAST(rank AS INT) AS rank, anchor, cnt
+FROM r WHERE rank <= 3""",
+)
+def anchor_text_q(spark, sf_dir):
+    """Inbound anchor-text top-k per target page
+    (operators/graph.anchor_text_topk): the power-law inlink dimension
+    collapses in the map-side partial agg; the window sees one row per
+    DISTINCT (dst, anchor)."""
+    from don_crawler_spark.operators.graph import anchor_text_topk
+
+    docs = load(spark, sf_dir, "documents")
+    links = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src"),
+        F.concat(
+            F.lit("page-"),
+            (
+                (F.col("doc_id") * (F.col("j") + 1) + F.col("j")) % 97
+            ).cast("string"),
+        ).alias("dst"),
+        F.concat(
+            F.lit("anchor-"),
+            ((F.col("doc_id") + F.col("j")) % 5).cast("string"),
+        ).alias("anchor"),
+    )
+    return anchor_text_topk(links, k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

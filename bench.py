@@ -98,6 +98,7 @@ HEADLINE_QUERIES = [
     "http_response_parse",
     "warc_cdx_index",
     "crawl_revisit_priority",
+    "graph_anchor_text",
 ]
 
 

@@ -135,3 +135,48 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
         F.col("r").alias("pagerank_nano"),
         F.round(F.col("r") / F.lit(float(NANO)), 6).alias("pagerank"),
     )
+
+
+def anchor_text_topk(
+    links: DataFrame, k: int = 3, min_inlinks: int = 1
+) -> DataFrame:
+    """Inbound anchor-text aggregation — the classic web-corpus signal
+    (search engines and crawl-quality pipelines rank a page by what
+    OTHER pages' links call it; anchor text is famously a better
+    document descriptor than the document's own words).
+
+    Input: one row per link ``(src, dst, anchor)``. Output: per target,
+    total inlink count, distinct anchor count, and the top-``k`` anchor
+    strings by frequency — flattened to one row per (dst, rank) so the
+    result stays array-free (exact cross-engine comparison).
+
+    Engine shape: ONE logical groupBy (dst, anchor) with map-side
+    partial aggregation (the shuffle carries (dst, anchor, count), one
+    row per distinct pair per partition, never the raw link list), then
+    a window over dst. The window partition is the number of DISTINCT
+    anchors per target — bounded in practice (anchor vocabulary per
+    page is small) even where raw inlink count is power-law skewed;
+    the skewed dimension is collapsed by the partial agg BEFORE any
+    per-dst work, which is what makes this shape safe at web scale.
+    Determinism: ties break (count DESC, anchor ASC) — no task-order
+    dependence.
+    """
+    from pyspark.sql import Window
+
+    per_anchor = links.groupBy("dst", "anchor").agg(
+        F.count("*").alias("cnt")
+    )
+    w_dst = Window.partitionBy("dst")
+    ranked = per_anchor.select(
+        "dst",
+        "anchor",
+        "cnt",
+        F.sum("cnt").over(w_dst).alias("n_inlinks"),
+        F.count("*").over(w_dst).cast("long").alias("n_anchors"),
+        F.row_number()
+        .over(w_dst.orderBy(F.col("cnt").desc(), F.col("anchor")))
+        .alias("rank"),
+    )
+    return ranked.where(
+        (F.col("rank") <= k) & (F.col("n_inlinks") >= min_inlinks)
+    ).select("dst", "n_inlinks", "n_anchors", "rank", "anchor", "cnt")

@@ -224,3 +224,52 @@ def test_revisit_shuffle_carries_two_ints(spark) -> None:
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan or "partial" in plan.lower()
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# anchor text
+# ---------------------------------------------------------------------------
+
+
+def test_anchor_text_topk_semantics(spark) -> None:
+    from don_crawler_spark.operators.graph import anchor_text_topk
+
+    links = spark.createDataFrame(
+        [
+            # p1: 'docs' x3, 'home' x2, 'b' x1, 'a' x1 -> top3 docs,home,a
+            ("s1", "p1", "docs"), ("s2", "p1", "docs"), ("s3", "p1", "docs"),
+            ("s4", "p1", "home"), ("s5", "p1", "home"),
+            ("s6", "p1", "b"), ("s7", "p1", "a"),
+            # p2: tie between 'x' and 'y' -> anchor ASC breaks it
+            ("s1", "p2", "y"), ("s2", "p2", "x"),
+        ],
+        "src string, dst string, anchor string",
+    )
+    rows = anchor_text_topk(links, k=3).collect()
+    p1 = sorted(
+        [(r["rank"], r["anchor"], r["cnt"]) for r in rows if r["dst"] == "p1"]
+    )
+    assert p1 == [(1, "docs", 3), (2, "home", 2), (3, "a", 1)]
+    p1_meta = {(r["n_inlinks"], r["n_anchors"]) for r in rows if r["dst"] == "p1"}
+    assert p1_meta == {(7, 4)}
+    p2 = sorted(
+        [(r["rank"], r["anchor"]) for r in rows if r["dst"] == "p2"]
+    )
+    assert p2 == [(1, "x"), (2, "y")]
+
+
+def test_anchor_text_partial_agg_before_window(spark) -> None:
+    """The skewed raw-inlink dimension must collapse in a partial agg
+    BEFORE the dst window: the plan below the window's exchange carries
+    a partial_count, and no Python appears anywhere."""
+    from don_crawler_spark.operators.graph import anchor_text_topk
+
+    links = spark.createDataFrame(
+        [("s", "p", "a")], "src string, dst string, anchor string"
+    )
+    plan = _plan(anchor_text_topk(links))
+    assert "partial_count" in plan
+    assert "Python" not in plan
+    # partial agg sits BELOW the first exchange (map-side combine)
+    below_first_exchange = plan.split("Exchange")[-1]
+    assert "partial_count" in below_first_exchange
