@@ -3649,6 +3649,101 @@ def anchor_text_q(spark, sf_dir):
     return anchor_text_topk(links, k=3)
 
 
+@_q(
+    "recrawl_frontier_rank",
+    # the full composition: change-rate estimate -> due/overdue arithmetic
+    # -> per-host budget top-k. The oracle is the single-window definition
+    # the salted two-phase engine shape must equal.
+    """WITH hist AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+           || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT)
+           < ((CAST(substr(source, 4) AS INT) % 5) * 2 + 1)
+             * CAST(429496730 AS BIGINT) AS changed
+  FROM documents, (SELECT unnest(range(0, 6)) AS k)),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_checks,
+         SUM(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed
+  FROM hist GROUP BY doc_id),
+est AS (
+  SELECT doc_id,
+         CAST(round(-ln((n_checks - n_changed + 0.5) / (n_checks + 0.5))
+           / 7 * 1e9) AS BIGINT) AS lam
+  FROM agg),
+sched AS (
+  SELECT doc_id,
+         CASE WHEN lam = 0 THEN 365
+              ELSE least(365, greatest(1, CAST(round(693147181
+                / CAST(lam AS DOUBLE)) AS INT)))
+         END AS revisit_days
+  FROM est),
+due AS (
+  SELECT 'https://h' || CAST(doc_id % 23 AS VARCHAR) || '.example/d/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 23 AS VARCHAR) AS host,
+         CAST(60 - ((doc_id % 40) + revisit_days) AS BIGINT) AS overdue
+  FROM sched WHERE 60 - ((doc_id % 40) + revisit_days) > 0),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+    ORDER BY overdue DESC, md5(url), url) AS recrawl_rank
+  FROM due)
+SELECT url, host, overdue, CAST(recrawl_rank AS INT) AS recrawl_rank
+FROM r WHERE recrawl_rank <= 5""",
+)
+def recrawl_rank_q(spark, sf_dir):
+    """The recrawl pipeline end-to-end (operators/recrawl.py):
+    revisit_schedule's half-life intervals + deterministic last-fetch
+    days give each URL an overdue key at day 60; due URLs rank per host
+    through the salted two-phase budget top-k (cap 5/host) — the same
+    skew-safe shape as the crawl's politeness budget rank."""
+    from don_crawler_spark.operators.recrawl import (
+        recrawl_frontier_rank,
+        revisit_schedule,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    u32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("k").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    thr = (
+        (F.substring("source", 4, 10).cast("int") % 5) * 2 + 1
+    ).cast("long") * 429496730
+    hist = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+        "source",
+    ).select("doc_id", (u32 < thr).alias("changed"))
+    sched = revisit_schedule(hist, interval_days=7)
+    overdue = (
+        F.lit(60) - ((F.col("doc_id") % 40) + F.col("revisit_days"))
+    ).cast("long")
+    due = sched.select(
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+            "host"
+        ),
+        overdue.alias("overdue"),
+    ).where(F.col("overdue") > 0)
+    return recrawl_frontier_rank(due, cap=5)
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

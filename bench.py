@@ -99,6 +99,7 @@ HEADLINE_QUERIES = [
     "warc_cdx_index",
     "crawl_revisit_priority",
     "graph_anchor_text",
+    "recrawl_frontier_rank",
 ]
 
 

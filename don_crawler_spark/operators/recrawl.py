@@ -70,3 +70,51 @@ def revisit_schedule(history: DataFrame, interval_days: int = 7) -> DataFrame:
         lam_nano.alias("lambda_nano_per_day"),
         revisit.alias("revisit_days"),
     )
+
+
+def recrawl_frontier_rank(
+    due: DataFrame, cap: int = 25, n_salts: int = 16
+) -> DataFrame:
+    """Budgeted recrawl frontier selection: rank each host's due URLs by
+    overdue-ness and keep the top ``cap`` per host — the scheduling step
+    that turns :func:`revisit_schedule` output into the next crawl
+    round's politeness-bounded frontier.
+
+    Input: ``(url, host, overdue)`` — ``overdue`` is an integer staleness
+    key (e.g. rounds past ``last_fetch + revisit_days``); higher first.
+    Ties break on md5(url) then url, so reruns — and the SQL oracle —
+    pick identical rows. No rand().
+
+    Two-phase salted top-k (the crawl's own budget-rank shape,
+    plans/round.py, and source_cap's): phase 1 ranks inside (host, salt)
+    cells, pruning a hot host's millions of due URLs to ``cap`` per cell
+    in ``n_salts`` parallel tasks; phase 2 ranks exactly over the
+    <= cap * n_salts survivors per host. No host ever sorts its full
+    due-list in one task — the skew-safety the per-host window alone
+    would not have.
+    """
+    from pyspark.sql import Window
+
+    hhex = F.md5(F.col("url"))
+    base = due.select("url", "host", "overdue", hhex.alias("_h"))
+    salt = F.pmod(
+        F.conv(F.substring("_h", 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_salts),
+    )
+    w_cell = Window.partitionBy("host", "_salt").orderBy(
+        F.col("overdue").desc(), "_h", "url"
+    )
+    pruned = (
+        base.withColumn("_salt", salt)
+        .withColumn("_cell_rank", F.row_number().over(w_cell))
+        .filter(F.col("_cell_rank") <= cap)
+        .drop("_salt", "_cell_rank")
+    )
+    w_exact = Window.partitionBy("host").orderBy(
+        F.col("overdue").desc(), "_h", "url"
+    )
+    return (
+        pruned.withColumn("recrawl_rank", F.row_number().over(w_exact))
+        .filter(F.col("recrawl_rank") <= cap)
+        .select("url", "host", "overdue", "recrawl_rank")
+    )

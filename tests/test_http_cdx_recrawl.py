@@ -273,3 +273,37 @@ def test_anchor_text_partial_agg_before_window(spark) -> None:
     # partial agg sits BELOW the first exchange (map-side combine)
     below_first_exchange = plan.split("Exchange")[-1]
     assert "partial_count" in below_first_exchange
+
+
+def test_recrawl_frontier_rank_skew_shape_and_exactness(spark) -> None:
+    """The salted two-phase top-k must EQUAL the single-window
+    definition, and the plan must rank inside (host, salt) cells before
+    the exact per-host window (two window exchanges, no Python)."""
+    from don_crawler_spark.operators.recrawl import recrawl_frontier_rank
+
+    # one hot host with 200 due urls + one cold host; cap 3
+    rows = [(f"u{i:03d}", "hot", i % 7) for i in range(200)] + [
+        ("c1", "cold", 5),
+        ("c2", "cold", 9),
+    ]
+    due = spark.createDataFrame(rows, "url string, host string, overdue long")
+    got = {
+        (r["host"], r["recrawl_rank"]): (r["url"], r["overdue"])
+        for r in recrawl_frontier_rank(due, cap=3).collect()
+    }
+    # single-window reference computed from scratch
+    import hashlib
+
+    ref = sorted(
+        [r for r in rows if r[1] == "hot"],
+        key=lambda r: (-r[2], hashlib.md5(r[0].encode()).hexdigest(), r[0]),
+    )[:3]
+    for i, (url, _h, od) in enumerate(ref, start=1):
+        assert got[("hot", i)] == (url, od)
+    assert got[("cold", 1)] == ("c2", 9)
+    assert got[("cold", 2)] == ("c1", 5)
+    assert ("cold", 3) not in got
+
+    plan = _plan(recrawl_frontier_rank(due, cap=3))
+    assert plan.count("Exchange") == 2  # cell window + exact window
+    assert "Python" not in plan
