@@ -3744,6 +3744,85 @@ def recrawl_rank_q(spark, sf_dir):
     return recrawl_frontier_rank(due, cap=5)
 
 
+@_q(
+    "html_meta_robots",
+    # Closed-form oracle: the flags the regex/array machinery must
+    # produce, derived independently from the same doc_id arithmetic.
+    # Precedence note: the X-Robots-Tag when-chain puts noindex (%11)
+    # before nofollow (%13), mirrored exactly here.
+    """SELECT doc_id,
+       (doc_id % 7 IN (1, 3, 5) OR doc_id % 11 = 0) AS noindex,
+       (doc_id % 7 IN (2, 3, 4, 5)
+         OR (doc_id % 13 = 0 AND doc_id % 11 <> 0)) AS nofollow,
+       CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_links,
+       CAST(CASE WHEN doc_id % 7 IN (2, 3, 4, 5)
+                   OR (doc_id % 13 = 0 AND doc_id % 11 <> 0) THEN 0
+                 WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_links_followable
+FROM documents""",
+)
+def meta_robots_q(spark, sf_dir):
+    """Robots META directives (functions/metarobots.py): page-level
+    noindex/nofollow from ``<meta name="robots">`` tags (both attribute
+    orders, case-varied, bare attrs, multi-tag union, a name="keywords"
+    decoy that must NOT match) unioned with the X-Robots-Tag header,
+    plus followable-link counts honouring page- and link-level
+    nofollow. All codegen regex/array logic, zero exchanges."""
+    from don_crawler_spark.functions.metarobots import (
+        followable_link_counts,
+        meta_robots_flags,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    meta = (
+        F.when(m == 1, '<meta name="robots" content="noindex">')
+        .when(m == 2, '<META CONTENT="nofollow" NAME="robots">')
+        .when(m == 3, '<meta name="robots" content="none">')
+        .when(m == 4, '<meta name=robots content="noarchive, nofollow">')
+        .when(
+            m == 5,
+            '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">',
+        )
+        .when(m == 6, '<meta name="keywords" content="noindex">')
+        .otherwise("")
+    )
+    anchors = F.concat(
+        F.lit('<a href="/a1">x</a>'),
+        F.when(
+            F.col("doc_id") % 2 == 1, '<A HREF="/a2" REL="NOFOLLOW">y</A>'
+        ).otherwise('<a href="/a2">y</a>'),
+        F.when(
+            F.col("doc_id") % 3 == 0, '<a rel=nofollow href="/a3">z</a>'
+        ).otherwise(""),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body>"),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    xr = F.when(F.col("doc_id") % 11 == 0, "noindex").when(
+        F.col("doc_id") % 13 == 0, "nofollow, noarchive"
+    )
+    staged = docs.select(
+        "doc_id", html.alias("html"), xr.alias("xr")
+    ).select(
+        "doc_id",
+        "html",
+        *meta_robots_flags(F.col("html"), F.col("xr")),
+    )
+    return staged.select(
+        "doc_id",
+        "noindex",
+        "nofollow",
+        *followable_link_counts(F.col("html"), F.col("nofollow")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -100,6 +100,7 @@ HEADLINE_QUERIES = [
     "crawl_revisit_priority",
     "graph_anchor_text",
     "recrawl_frontier_rank",
+    "html_meta_robots",
 ]
 
 

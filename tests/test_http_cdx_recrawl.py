@@ -307,3 +307,96 @@ def test_recrawl_frontier_rank_skew_shape_and_exactness(spark) -> None:
     plan = _plan(recrawl_frontier_rank(due, cap=3))
     assert plan.count("Exchange") == 2  # cell window + exact window
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# robots meta directives
+# ---------------------------------------------------------------------------
+
+
+def test_meta_robots_flags_edge_cases(spark) -> None:
+    from don_crawler_spark.functions.metarobots import (
+        followable_link_counts,
+        meta_robots_flags,
+    )
+
+    cases = [
+        # name, html, xrobots, want (noindex, nofollow, n_links, followable)
+        ("none", "<p>plain</p>", None, (False, False, 0, 0)),
+        (
+            "classic",
+            '<meta name="robots" content="noindex">',
+            None,
+            (True, False, 0, 0),
+        ),
+        (
+            "order_b_upper",
+            '<META CONTENT="NOFOLLOW" NAME="ROBOTS">',
+            None,
+            (False, True, 0, 0),
+        ),
+        (
+            "none_token",
+            '<meta name=robots content="none"><a href="/x">l</a>',
+            None,
+            (True, True, 1, 0),
+        ),
+        (
+            "decoy_keywords",
+            '<meta name="keywords" content="noindex"><a href="/x">l</a>',
+            None,
+            (False, False, 1, 1),
+        ),
+        (
+            # directive must be a TOKEN: "nonexistent" contains "none"
+            # as a substring but is no restriction
+            "substring_trap",
+            '<meta name="robots" content="nonexistent">',
+            None,
+            (False, False, 0, 0),
+        ),
+        (
+            "header_only",
+            '<a href="/x">l</a><a rel="nofollow" href="/y">m</a>',
+            "noarchive, noindex",
+            (True, False, 2, 1),
+        ),
+        (
+            "multi_union",
+            '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">'
+            '<a href="/x">l</a>',
+            None,
+            (True, True, 1, 0),
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(n, h, x) for n, h, x, _ in cases],
+        "name string, html string, xr string",
+    )
+    staged = df.select(
+        "name", "html", *meta_robots_flags(F.col("html"), F.col("xr"))
+    ).select(
+        "name",
+        "noindex",
+        "nofollow",
+        *followable_link_counts(F.col("html"), F.col("nofollow")),
+    )
+    got = {r["name"]: r for r in staged.collect()}
+    for name, _h, _x, want in cases:
+        r = got[name]
+        assert (
+            r["noindex"],
+            r["nofollow"],
+            r["n_links"],
+            r["n_links_followable"],
+        ) == want, name
+
+
+def test_meta_robots_is_map_side(spark) -> None:
+    from don_crawler_spark.functions.metarobots import meta_robots_flags
+
+    df = spark.createDataFrame([("<p>x</p>",)], "html string")
+    plan = _plan(df.select(*meta_robots_flags(F.col("html"))))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
