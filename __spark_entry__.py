@@ -3823,6 +3823,110 @@ def meta_robots_q(spark, sf_dir):
     )
 
 
+@_q(
+    "crawl_trap_report",
+    # Heritrix-style crawl-trap verdicts per host. URL synthesis gives
+    # each host a uniform shape (custkey%24 determines custkey%6):
+    # m=0 benign blog, m=1 session-id minting on 3 paths (param
+    # explosion), m=2 /archive/YYYY/M/ calendar, m=3 /a/b/a/b/a segment
+    # loop, m=4 10-deep pathological path, m=5 benign with a 2-param
+    # query. The oracle recomputes every signal from the URL text in
+    # SQL — it shares no code with the operator.
+    """WITH u AS (
+  SELECT 'https://site-' || CAST(o_custkey % 24 AS VARCHAR) || '.example'
+    || CASE o_custkey % 6
+       WHEN 0 THEN '/blog/post-' || CAST(o_orderkey AS VARCHAR)
+       WHEN 1 THEN '/p/' || CAST(o_orderkey % 3 AS VARCHAR)
+                 || '?sid=' || CAST(o_orderkey AS VARCHAR)
+       WHEN 2 THEN '/archive/' || CAST(2000 + o_orderkey % 26 AS VARCHAR)
+                 || '/' || CAST(1 + o_orderkey % 12 AS VARCHAR) || '/'
+       WHEN 3 THEN '/a/b/a/b/a/' || CAST(o_orderkey AS VARCHAR)
+       WHEN 4 THEN '/d1/d2/d3/d4/d5/d6/d7/d8/d9/'
+                 || CAST(o_orderkey AS VARCHAR)
+       ELSE '/item/' || CAST(o_orderkey AS VARCHAR) || '?page=2&ref=x'
+       END AS url
+  FROM orders),
+sig AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+         CASE WHEN regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) = ''
+              THEN '/'
+              ELSE regexp_extract(url,
+                '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1) END AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+per AS (
+  SELECT host, md5(path) AS path_fp,
+         CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+              AS INT) AS path_depth,
+         CAST(COALESCE(list_max(list_transform(
+              list_filter(string_split(path, '/'), s -> s <> ''),
+              s -> len(list_filter(
+                     list_filter(string_split(path, '/'), x -> x <> ''),
+                     x -> x = s)))), 0) AS INT) AS max_seg_repeat,
+         CASE WHEN query = '' THEN 0
+              ELSE len(string_split(query, '&')) END AS n_q,
+         regexp_matches(path, '/(19|20)[0-9]{2}/[0-9]{1,2}(/|$)') AS is_cal
+  FROM sig),
+agg AS (
+  SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT path_fp) AS n_paths,
+         MAX(path_depth) AS max_depth,
+         MAX(max_seg_repeat) AS worst_seg_repeat,
+         CAST(SUM(CASE WHEN is_cal THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_calendar_urls,
+         CAST(SUM(CASE WHEN n_q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_query_urls
+  FROM per GROUP BY host)
+SELECT host, n_urls, n_paths, max_depth, worst_seg_repeat,
+       n_calendar_urls, n_query_urls,
+       worst_seg_repeat >= 3 AS path_loop,
+       max_depth > 8 AS deep_paths,
+       n_calendar_urls >= 8 AS calendar_trap,
+       (n_urls >= 12 AND n_urls >= 4 * n_paths) AS param_explosion,
+       (worst_seg_repeat >= 3 OR max_depth > 8 OR n_calendar_urls >= 8
+        OR (n_urls >= 12 AND n_urls >= 4 * n_paths)) AS trapped
+FROM agg""",
+)
+def crawl_trap_report_q(spark, sf_dir):
+    """Crawl-trap detection (operators/traps.py): per-host URL-pattern
+    explosion verdicts — segment loops, pathological depth, calendar
+    spaces, session-id query minting. The reference's universe is finite
+    by construction (scanner/gitlab.go enumerates a fixed project list)
+    so it never needs this; a web-tier frontier does. Map-side signals,
+    ONE groupBy(host) carrying five ints per URL."""
+    from don_crawler_spark.operators.traps import host_trap_report
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    m = F.col("o_custkey") % 6
+    k = F.col("o_orderkey").cast("string")
+    host = F.concat(
+        F.lit("site-"), (F.col("o_custkey") % 24).cast("string"),
+        F.lit(".example"),
+    )
+    yr = (F.lit(2000) + F.col("o_orderkey") % 26).cast("string")
+    mo = (F.lit(1) + F.col("o_orderkey") % 12).cast("string")
+    tail = (
+        F.when(m == 0, F.concat(F.lit("/blog/post-"), k))
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("/p/"), (F.col("o_orderkey") % 3).cast("string"),
+                F.lit("?sid="), k,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(F.lit("/archive/"), yr, F.lit("/"), mo, F.lit("/")),
+        )
+        .when(m == 3, F.concat(F.lit("/a/b/a/b/a/"), k))
+        .when(m == 4, F.concat(F.lit("/d1/d2/d3/d4/d5/d6/d7/d8/d9/"), k))
+        .otherwise(F.concat(F.lit("/item/"), k, F.lit("?page=2&ref=x")))
+    )
+    urls = o.select(F.concat(F.lit("https://"), host, tail).alias("url"))
+    return host_trap_report(urls)
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -101,6 +101,7 @@ HEADLINE_QUERIES = [
     "graph_anchor_text",
     "recrawl_frontier_rank",
     "html_meta_robots",
+    "crawl_trap_report",
 ]
 
 
