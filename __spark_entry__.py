@@ -3927,6 +3927,75 @@ def crawl_trap_report_q(spark, sf_dir):
     return host_trap_report(urls)
 
 
+# Constant response bodies for http_soft404 — one per doc_id % 9 class.
+# Constants (not doc_id-interpolated) so the closed-form oracle can pin
+# exact body_len values. b4/b5 are adversarial negatives: digits around
+# 404 defeat the word boundary; 'not found' without a listed phrase and
+# without a <title> must stay clean.
+_S404_FILLER = "lorem ipsum dolor sit amet " * 24  # 648 chars > tiny gate
+_S404_BODIES = [
+    "<html><head><title>404 Not Found</title></head><body>gone</body></html>",
+    "<html><body>" + _S404_FILLER + "Sorry, Page Not Found.</body></html>",
+    "<html><title>Oops - 404</title><body>" + _S404_FILLER + "</body></html>",
+    "Error: 404",
+    "<html><body>SKU-4040 and 14045 in stock. " + _S404_FILLER + "</body></html>",
+    "<html><body>the item was not found in cart. " + _S404_FILLER + "</body></html>",
+    "resource permanently removed",
+    "tiny page",
+    "<html><body>" + _S404_FILLER + "</body></html>",
+]
+
+
+@_q(
+    "http_soft404",
+    # Closed-form oracle: statuses, exact body lengths, and every flag
+    # derived independently from the doc_id % 9 class table (the flags
+    # the regex machinery MUST produce) — shares no code with the
+    # detector. m=0 is the subtle row: a hard 404 whose body ALSO looks
+    # like an error page (title_err + tiny fire) yet soft404 stays
+    # false because the status is honest.
+    f"""SELECT doc_id,
+       CAST(CASE doc_id % 9 WHEN 0 THEN 404 WHEN 6 THEN 410
+            ELSE 200 END AS INT) AS status_code,
+       CAST(CASE doc_id % 9
+            {' '.join(f"WHEN {i} THEN {len(b)}" for i, b in enumerate(_S404_BODIES[:-1]))}
+            ELSE {len(_S404_BODIES[-1])} END AS INT) AS body_len,
+       doc_id % 9 = 1 AS err_phrase,
+       doc_id % 9 IN (0, 2) AS title_err,
+       doc_id % 9 IN (0, 3) AS tiny_body,
+       doc_id % 9 IN (1, 2, 3) AS soft404,
+       CASE WHEN doc_id % 9 IN (0, 6) THEN 'hard404'
+            WHEN doc_id % 9 IN (1, 2, 3) THEN 'soft404'
+            ELSE 'ok' END AS rot_class
+FROM documents""",
+)
+def http_soft404_q(spark, sf_dir):
+    """Soft-404 detection (functions/http.py soft404_flags): 200-status
+    pages whose content is an error page — Bar-Yossef et al. 2004's
+    link-rot class that status codes hide. Nine synthetic response
+    classes exercise phrase match, error <title>, tiny-body+404 token,
+    word-boundary negatives (SKU-4040), unlisted-phrase negatives, and
+    both hard statuses. Pure map-side codegen, zero exchanges."""
+    from don_crawler_spark.functions.http import soft404_flags
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 9
+    status = (
+        F.when(m == 0, 404).when(m == 6, 410).otherwise(200).cast("int")
+    )
+    body = F.lit(_S404_BODIES[-1])
+    for i in range(len(_S404_BODIES) - 2, -1, -1):
+        body = F.when(m == i, F.lit(_S404_BODIES[i])).otherwise(body)
+    staged = docs.select(
+        "doc_id", status.alias("status_code"), body.alias("body")
+    )
+    return staged.select(
+        "doc_id",
+        "status_code",
+        *soft404_flags(F.col("status_code"), F.col("body")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

@@ -102,6 +102,7 @@ HEADLINE_QUERIES = [
     "recrawl_frontier_rank",
     "html_meta_robots",
     "crawl_trap_report",
+    "http_soft404",
 ]
 
 

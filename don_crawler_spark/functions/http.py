@@ -128,3 +128,65 @@ def format_http_response(
         F.lit("\r\n"),
         body,
     )
+
+
+# --- soft-404 detection ------------------------------------------------------
+
+#: error phrases whose presence in a 200 body marks it as a masked error
+#: page (Bar-Yossef, Broder, Kumar & Tomkins 2004, "Sic transit gloria
+#: telae": servers that answer 200 for vanished content). Lowercase;
+#: matched as substrings of the lowercased body.
+SOFT404_PHRASES = (
+    "page not found",
+    "file not found",
+    "error 404",
+    "404 error",
+    "does not exist",
+    "no longer available",
+    "been removed",
+)
+
+#: bodies shorter than this AND containing a bare "404" token also flag
+#: (minimal error templates carry little else).
+SOFT404_TINY_BODY = 512
+
+
+def soft404_flags(status_code: Column, body: Column) -> list[Column]:
+    """Soft-404 signals + verdict, all map-side codegen (zero Python).
+
+    A *soft 404* is a 200-status response whose content is actually an
+    error page — the link is rotted but the server hides it, so a crawler
+    that trusts the status code keeps recrawling and indexing garbage.
+    Detection is the published heuristic family (error-phrase match,
+    error-title match, tiny body + bare 404 token); the full Bar-Yossef
+    method (probe a random sibling URL and compare templates) needs live
+    fetches and is out of contract here.
+
+    Returns [body_len, err_phrase, title_err, tiny_body, soft404,
+    rot_class] where rot_class is 'hard404' (status 404/410),
+    'soft404', or 'ok'. \\b404\\b is the Java-and-RE2-identical
+    word-bounded form, so a DuckDB oracle reproduces it exactly.
+    """
+    low = F.lower(body)
+    phrase = F.lit(False)
+    for p in SOFT404_PHRASES:
+        phrase = phrase | low.contains(p)
+    title = F.lower(
+        F.regexp_extract(body, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    )
+    title_err = title.contains("not found") | title.rlike(r"\b404\b")
+    body_len = F.length(body).cast("int")
+    tiny = (body_len < SOFT404_TINY_BODY) & low.rlike(r"\b404\b")
+    soft = (status_code == 200) & (phrase | title_err | tiny)
+    hard = status_code.isin(404, 410)
+    return [
+        body_len.alias("body_len"),
+        phrase.alias("err_phrase"),
+        title_err.alias("title_err"),
+        tiny.alias("tiny_body"),
+        soft.alias("soft404"),
+        F.when(hard, "hard404")
+        .when(soft, "soft404")
+        .otherwise("ok")
+        .alias("rot_class"),
+    ]
