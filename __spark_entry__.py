@@ -2983,13 +2983,10 @@ def bucketed_join_q(spark, sf_dir):
 # --- link-graph analytics (operators/graph.py) --------------------------------
 
 
-def _pagerank_oracle(n_hosts: int = 211, iters: int = 5) -> str:
-    """Unrolled-CTE DuckDB mirror of operators/graph.pagerank — all
-    integer arithmetic (// is floor division; every value non-negative),
-    so it matches the engine bit-for-bit."""
-    nh, nano = n_hosts, 1_000_000_000
-    parts = [
-        f"""WITH raw_edges AS (
+def _edge_ctes(nh: int) -> str:
+    """Shared SQL mirror of operators/graph.synth_host_edges — the
+    deterministic host graph both pagerank and HITS oracles replay."""
+    return f"""WITH raw_edges AS (
   SELECT doc_id % {nh} AS src,
          (doc_id // {nh} * 13 + doc_id * 31 + 7) % {nh} AS dst FROM documents
   UNION ALL
@@ -3001,7 +2998,17 @@ def _pagerank_oracle(n_hosts: int = 211, iters: int = 5) -> str:
   FROM documents WHERE doc_id % 3 = 0),
 edges AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
 nodes AS (SELECT DISTINCT host FROM
-          (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges)),
+          (SELECT src AS host FROM edges UNION ALL SELECT dst FROM edges))"""
+
+
+def _pagerank_oracle(n_hosts: int = 211, iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.pagerank — all
+    integer arithmetic (// is floor division; every value non-negative),
+    so it matches the engine bit-for-bit."""
+    nh, nano = n_hosts, 1_000_000_000
+    parts = [
+        _edge_ctes(nh)
+        + f""",
 degs AS (SELECT src AS host, COUNT(*) AS deg FROM edges GROUP BY src),
 nd AS (SELECT n.host, COALESCE(d.deg, 0) AS deg
        FROM nodes n LEFT JOIN degs d USING (host)),
@@ -3035,6 +3042,63 @@ FROM it{iters}"""
 def pagerank_q(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return GR.pagerank(GR.synth_host_edges(docs, n_hosts=211), iters=5)
+
+
+def _hits_oracle(n_hosts: int = 211, iters: int = 3) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.hits — the same
+    integer fixed-point (DIV-first max normalization), bit-exact."""
+    nh, nano = n_hosts, 1_000_000_000
+    parts = [
+        _edge_ctes(nh)
+        + f""",
+h0 AS (SELECT host, CAST({nano} AS BIGINT) AS h FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""ar{k} AS (SELECT e.dst AS host, CAST(SUM(p.h) AS BIGINT) AS ar
+        FROM edges e JOIN h{p} p ON e.src = p.host GROUP BY e.dst),
+am{k} AS (SELECT MAX(ar) AS m FROM ar{k}),
+a{k} AS (SELECT n.host,
+           CAST(COALESCE(r.ar, 0)
+                // GREATEST(COALESCE(m, 0) // {nano}, 1) AS BIGINT) AS a
+         FROM nodes n LEFT JOIN ar{k} r ON r.host = n.host
+         CROSS JOIN am{k}),
+hr{k} AS (SELECT e.src AS host, CAST(SUM(q.a) AS BIGINT) AS hr
+        FROM edges e JOIN a{k} q ON e.dst = q.host GROUP BY e.src),
+hm{k} AS (SELECT MAX(hr) AS m FROM hr{k}),
+h{k} AS (SELECT n.host,
+           CAST(COALESCE(r.hr, 0)
+                // GREATEST(COALESCE(m, 0) // {nano}, 1) AS BIGINT) AS h
+         FROM nodes n LEFT JOIN hr{k} r ON r.host = n.host
+         CROSS JOIN hm{k})"""
+        )
+    parts.append(
+        f"""SELECT CAST(n.host AS INT) AS host,
+       CAST(COALESCE(od.c, 0) AS INT) AS out_deg,
+       CAST(COALESCE(idg.c, 0) AS INT) AS in_deg,
+       a{iters}.a AS auth_nano, h{iters}.h AS hub_nano,
+       ROUND(a{iters}.a / {nano}.0, 6) AS authority,
+       ROUND(h{iters}.h / {nano}.0, 6) AS hub
+FROM nodes n
+LEFT JOIN (SELECT src, COUNT(*) AS c FROM edges GROUP BY src) od
+  ON od.src = n.host
+LEFT JOIN (SELECT dst, COUNT(*) AS c FROM edges GROUP BY dst) idg
+  ON idg.dst = n.host
+JOIN a{iters} ON a{iters}.host = n.host
+JOIN h{iters} ON h{iters}.host = n.host"""
+    )
+    head, tail = parts[0], parts[-1]
+    return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
+
+
+@_q("graph_hits", _hits_oracle())
+def hits_q(spark, sf_dir):
+    """HITS hubs & authorities over the same deterministic host graph
+    as graph_pagerank — the second classic link-analysis ranker a
+    crawl tier feeds (Kleinberg 1999)."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.hits(GR.synth_host_edges(docs, n_hosts=211), iters=3)
 
 
 # --- multimodal plumbing -------------------------------------------------------

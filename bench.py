@@ -103,6 +103,7 @@ HEADLINE_QUERIES = [
     "html_meta_robots",
     "crawl_trap_report",
     "http_soft404",
+    "graph_hits",
 ]
 
 

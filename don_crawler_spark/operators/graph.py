@@ -180,3 +180,79 @@ def anchor_text_topk(
     return ranked.where(
         (F.col("rank") <= k) & (F.col("n_inlinks") >= min_inlinks)
     ).select("dst", "n_inlinks", "n_anchors", "rank", "anchor", "cnt")
+
+
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) in integer
+    fixed-point: auth(v) = sum of in-neighbour hub scores, hub(u) = sum
+    of out-neighbour auth scores, each half-step renormalized so the top
+    score sits at ~NANO. Normalization is by the MAX (L-inf — standard
+    in HITS expositions) and runs DIV-first: ``x DIV greatest(m DIV
+    NANO, 1)`` keeps every intermediate within int64 (a direct
+    ``x * NANO DIV m`` would overflow at ~1e13 raw mass), and both
+    engines replay the identical truncating arithmetic, so the oracle is
+    bit-exact — the pagerank convention.
+
+    Scale shape: the static edge relation is hash-partitioned ONCE in
+    each join direction (by src for the auth step, by dst for the hub
+    step) and persisted; every iteration shuffles only the (host, score)
+    BIGINT pair relation into those layouts — edges outnumber nodes
+    10-100x on web graphs, so edges never move. The max is a 1-row
+    aggregate crossJoin-broadcast back, map-side. Fixed iterations
+    unroll into one lazy Catalyst plan (the queries() contract).
+
+    Output: (host, out_deg, in_deg, auth_nano, hub_nano, authority,
+    hub) with the doubles rounded to 6dp.
+    """
+    spark = edges.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    e_src = edges.repartition(cores, "src").persist()
+    e_dst = edges.repartition(cores, "dst").persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    norm = "DIV greatest(coalesce(m, 0) DIV {n}, 1)".format(n=NANO)
+    hub = nodes.select("host", F.lit(NANO).cast("long").alias("h"))
+    auth = None
+    for _ in range(iters):
+        araw = (
+            e_src.join(hub, e_src["src"] == hub["host"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        amax = araw.agg(F.max("ar").alias("m"))
+        auth = (
+            nodes.join(araw, nodes["host"] == araw["dst"], "left")
+            .crossJoin(F.broadcast(amax))
+            .select("host", F.expr(f"coalesce(ar, 0) {norm}").alias("a"))
+        )
+        hraw = (
+            e_dst.join(auth, e_dst["dst"] == auth["host"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hmax = hraw.agg(F.max("hr").alias("m"))
+        hub = (
+            nodes.join(hraw, nodes["host"] == hraw["src"], "left")
+            .crossJoin(F.broadcast(hmax))
+            .select("host", F.expr(f"coalesce(hr, 0) {norm}").alias("h"))
+        )
+    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
+    ind = edges.groupBy("dst").agg(F.count("*").alias("id_"))
+    return (
+        nodes.join(outd, nodes["host"] == outd["src"], "left")
+        .join(ind, nodes["host"] == ind["dst"], "left")
+        .join(auth.withColumnRenamed("host", "ah"), F.col("host") == F.col("ah"))
+        .join(hub.withColumnRenamed("host", "hh"), F.col("host") == F.col("hh"))
+        .select(
+            F.col("host").cast("int").alias("host"),
+            F.coalesce("od", F.lit(0)).cast("int").alias("out_deg"),
+            F.coalesce("id_", F.lit(0)).cast("int").alias("in_deg"),
+            F.col("a").alias("auth_nano"),
+            F.col("h").alias("hub_nano"),
+            F.round(F.col("a") / F.lit(float(NANO)), 6).alias("authority"),
+            F.round(F.col("h") / F.lit(float(NANO)), 6).alias("hub"),
+        )
+    )

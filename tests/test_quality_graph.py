@@ -299,3 +299,47 @@ def test_gopher_rules_is_exchange_free(spark) -> None:
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_hits_star_graph_semantics(spark) -> None:
+    """A pure star (0 -> 1..4): node 0 is the sole hub (score NANO),
+    spokes are equal authorities (score NANO), node 0 has authority 0
+    and spokes hub 0 — the textbook HITS fixture, exact in fixed-point
+    because all raw masses are equal so max-normalization is lossless."""
+    from don_crawler_spark.operators.graph import NANO, hits
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src int, dst int"
+    )
+    rows = {r.host: r for r in hits(edges, iters=3).collect()}
+    assert rows[0].hub_nano == NANO and rows[0].auth_nano == 0
+    assert rows[0].out_deg == 4 and rows[0].in_deg == 0
+    for i in range(1, 5):
+        assert rows[i].auth_nano == NANO and rows[i].hub_nano == 0
+        assert rows[i].in_deg == 1
+
+
+def test_hits_separates_hub_from_authority(spark) -> None:
+    """Two hubs of different fan-out pointing into a shared authority:
+    the wider hub must out-rank the narrower, and the shared sink must
+    out-rank the exclusive one. Mutual reinforcement, not degree, sets
+    the order — the property HITS adds over simple counts."""
+    from don_crawler_spark.operators.graph import hits
+
+    # hub 10 -> {1,2,3}; hub 11 -> {1}; nobody links the hubs
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1)], "src int, dst int"
+    )
+    rows = {r.host: r for r in hits(edges, iters=3).collect()}
+    assert rows[10].hub_nano > rows[11].hub_nano
+    assert rows[1].auth_nano > rows[2].auth_nano  # 2 in-links vs 1
+    assert rows[2].auth_nano == rows[3].auth_nano
+    assert rows[1].in_deg == 2 and rows[10].out_deg == 3
+
+
+def test_hits_plan_stays_jvm(spark) -> None:
+    from don_crawler_spark.operators.graph import hits
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    plan = hits(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
