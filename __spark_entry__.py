@@ -4060,6 +4060,141 @@ def http_soft404_q(spark, sf_dir):
     )
 
 
+@_q(
+    "html_charset_sniff",
+    # Closed-form oracle: the (encoding, source) verdict each doc_id % 8
+    # class MUST sniff, derived independently of the regex ladder.
+    # Precedence pins: m=2 BOM outranks its header label; m=6 header
+    # outranks its in-page meta; m=5's meta sits past the 1024-char
+    # prescan window and must be ignored.
+    """SELECT doc_id,
+       CASE doc_id % 8
+         WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'utf-8'
+         WHEN 3 THEN 'windows-1252' WHEN 4 THEN 'shift_jis'
+         WHEN 6 THEN 'euc-kr' ELSE 'utf-8' END AS encoding,
+       CASE doc_id % 8
+         WHEN 1 THEN 'header' WHEN 2 THEN 'bom' WHEN 3 THEN 'meta'
+         WHEN 4 THEN 'meta_http_equiv' WHEN 6 THEN 'header'
+         WHEN 7 THEN 'meta' ELSE 'default' END AS charset_source
+FROM documents""",
+)
+def charset_sniff_q(spark, sf_dir):
+    """Encoding sniffing (functions/charset.py): the WHATWG detection
+    ladder — BOM > Content-Type header > meta-charset prescan >
+    http-equiv prescan > utf-8 default — with alias folding
+    (ISO-8859-1 -> windows-1252, utf8 -> utf-8, Shift_JIS casing).
+    Eight synthetic page classes exercise every rung plus the two
+    precedence traps and the prescan-window cutoff. Pure map-side
+    codegen, zero exchanges."""
+    from don_crawler_spark.functions.charset import charset_sniff
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 8
+    base = "<html><head><title>t</title></head><body>hello</body></html>"
+    pad = "x" * 1100
+    html = (
+        F.when(m == 2, F.lit("\ufeff" + base))
+        .when(
+            m == 3,
+            '<html><head><meta charset="Windows-1252"></head>'
+            "<body>x</body></html>",
+        )
+        .when(
+            m == 4,
+            '<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=Shift_JIS"></head>'
+            "<body>x</body></html>",
+        )
+        .when(
+            m == 5,
+            "<html><head><!-- " + pad + ' --><meta charset="big5">'
+            "</head><body>x</body></html>",
+        )
+        .when(
+            m == 6,
+            "<html><head><meta charset=big5></head><body>x</body></html>",
+        )
+        .when(
+            m == 7,
+            "<html><head><meta charset='utf8'></head><body>x</body></html>",
+        )
+        .otherwise(base)
+    )
+    ctype = (
+        F.when(m == 1, "text/html; charset=ISO-8859-1")
+        .when(m == 2, "text/html; charset=latin2")
+        .when(m == 6, 'text/html;charset="EUC-KR"')
+        .otherwise("text/html")
+    )
+    return docs.select(
+        "doc_id",
+        *charset_sniff(html, ctype),
+    )
+
+
+@_q(
+    "corpus_drift_tokens",
+    # Exact-integer mirror: same space-split tokens, same smoothed
+    # cross-product shift over the doc_id-parity slices.
+    f"""WITH tok AS (
+  SELECT doc_id % 2 AS slice, unnest({SQL_TOKENS}) AS token
+  FROM documents),
+c AS (SELECT token,
+        CAST(SUM(CASE WHEN slice = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM tok GROUP BY token),
+t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS v FROM c)
+SELECT token, n_a, n_b,
+       CAST((n_a + 1) * (nb + v) - (n_b + 1) * (na + v) AS BIGINT)
+         AS shift_num
+FROM c CROSS JOIN t
+ORDER BY abs(shift_num) DESC, token LIMIT 50""",
+)
+def corpus_drift_q(spark, sf_dir):
+    """Unigram distribution shift between corpus slices
+    (operators/textstats.py corpus_drift_topk): top-50 tokens by the
+    exact-integer smoothed probability-difference cross-product. One
+    token-keyed partial-agg shuffle + a broadcast single-row totals
+    frame + TakeOrdered — all-BIGINT, no float/log ULP hazards."""
+    return TS.corpus_drift_topk(load(spark, sf_dir, "documents"))
+
+
+def _components_oracle(n_hosts: int = 1024) -> str:
+    """DuckDB recursive-CTE mirror of operators/graph.components: the
+    transitive-closure min-label fixed point is unique per component,
+    so closure (oracle) and iterative min-propagation (engine) agree
+    exactly regardless of iteration order."""
+    edges = _edge_ctes(n_hosts)[len("WITH ") :]
+    return f"""WITH RECURSIVE {edges},
+und AS (SELECT src AS u, dst AS v FROM edges
+        UNION SELECT dst, src FROM edges),
+reach(u, lbl) AS (
+  SELECT u, v AS lbl FROM und
+  UNION SELECT u, u FROM und
+  UNION SELECT r.u, n.v FROM reach r JOIN und n ON n.u = r.lbl),
+comp AS (SELECT u AS host, CAST(MIN(lbl) AS BIGINT) AS component_id
+         FROM reach GROUP BY u),
+sz AS (SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       FROM comp GROUP BY component_id)
+SELECT CAST(c.host AS BIGINT) AS host, c.component_id, s.n_members,
+       c.host = c.component_id AS is_rep
+FROM comp c JOIN sz s USING (component_id)"""
+
+
+@_q("graph_components", _components_oracle())
+def graph_components_q(spark, sf_dir):
+    """Connected components of the host link graph
+    (operators/graph.components, reusing the dedup pipeline's
+    min-label-propagation CC): component id = min host id, with member
+    counts and per-component representative. n_hosts=1024 keeps the
+    synthetic graph near the percolation threshold at sf0.01 (many
+    non-trivial components, long chains) — a harder convergence test
+    than the dense 211-host PageRank graph."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.components(GR.synth_host_edges(docs, n_hosts=1024))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------

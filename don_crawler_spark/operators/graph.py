@@ -256,3 +256,40 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             F.round(F.col("h") / F.lit(float(NANO)), 6).alias("hub"),
         )
     )
+
+
+def components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components of the (undirected) host link graph — the
+    third classic link-graph analysis after PageRank/HITS, and the same
+    primitive the dedup pipeline uses to collapse near-dup pair edges
+    (operators/dedup.connected_components, reused verbatim here — one
+    CC implementation, two callers). Web-graph use: isolating link
+    farms / disconnected satellite sites and sizing the reachable core
+    before a recrawl budget is split.
+
+    Output: (host, component_id, n_members, is_rep) with component_id =
+    min host id in the component — the unique order-independent fixed
+    point, so the DuckDB recursive-CTE oracle converges to identical
+    labels despite computing them by transitive closure instead of
+    iterative min-label propagation.
+
+    Plan shape: the propagation loop is O(diameter) rounds of one
+    8-byte-key shuffle each over localCheckpoint-ed edges (lineage
+    bounded); the member-count join broadcasts the small per-component
+    aggregate back over the labels.
+    """
+    from don_crawler_spark.operators.dedup import connected_components
+
+    lab = connected_components(
+        edges, src="src", dst="dst", max_iters=max_iters
+    ).select(
+        F.col("doc_id").cast("long").alias("host"),
+        F.col("cluster_id").cast("long").alias("component_id"),
+        F.col("keep").alias("is_rep"),
+    )
+    sizes = lab.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return lab.join(F.broadcast(sizes), "component_id").select(
+        "host", "component_id", "n_members", "is_rep"
+    )

@@ -329,3 +329,55 @@ def corpus_cube_stats(docs: DataFrame) -> DataFrame:
         )
         .select("lang", "source", "gid", "n_docs", "total_tokens")
     )
+
+
+DRIFT_TOPK = 50
+
+
+def corpus_drift_topk(docs: DataFrame, k: int = DRIFT_TOPK) -> DataFrame:
+    """Unigram distribution shift between two corpus slices — the
+    between-dump drift monitor a recurring crawl runs before mixing a
+    new snapshot into training data (the counting core of DSIR-style
+    importance weights and of "what changed since the last dump"
+    dashboards). Slices here are the deterministic doc_id parity halves;
+    at deployment the slice column is the dump/source id.
+
+    Per joint-vocabulary token with add-one smoothing, the smoothed
+    probability difference p_a - p_b has sign and magnitude given
+    exactly by the integer cross-product
+
+        shift_num = (c_a + 1)(N_b + V) - (c_b + 1)(N_a + V)
+
+    (the common denominator (N_a+V)(N_b+V) is positive and rank-
+    preserving, so it is never materialized). All-BIGINT arithmetic:
+    exact, engine-independent, no float/log ULP hazards — the same
+    fixed-point discipline as pagerank/HITS/recrawl.
+
+    Plan shape: one hash-partitioned token aggregate with map-side
+    partial combine (the only wide exchange; two small longs per
+    token), a single-row totals aggregate broadcast back over the token
+    frame, then TakeOrderedAndProject(k) on (|shift| DESC, token) — the
+    full vocabulary never leaves the executors.
+    """
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("slice"),
+        F.explode(F.split("text", " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    c = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    totals = c.agg(
+        F.sum("n_a").alias("na"),
+        F.sum("n_b").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    shift = (F.col("n_a") + 1) * (F.col("nb") + F.col("v")) - (
+        F.col("n_b") + 1
+    ) * (F.col("na") + F.col("v"))
+    return (
+        c.crossJoin(F.broadcast(totals))
+        .select("token", "n_a", "n_b", shift.alias("shift_num"))
+        .orderBy(F.abs(F.col("shift_num")).desc(), "token")
+        .limit(k)
+    )
