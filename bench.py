@@ -104,6 +104,9 @@ HEADLINE_QUERIES = [
     "crawl_trap_report",
     "http_soft404",
     "graph_hits",
+    "graph_components",
+    "corpus_drift_tokens",
+    "html_charset_sniff",
 ]
 
 
