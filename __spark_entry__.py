@@ -4195,6 +4195,103 @@ def graph_components_q(spark, sf_dir):
     return GR.components(GR.synth_host_edges(docs, n_hosts=1024))
 
 
+@_q(
+    "html_text_extract",
+    # Closed-form oracle: DuckDB never parses HTML — it computes the
+    # expected (title, description, text) for each doc_id % 6 wrapper
+    # class straight from the PRE-WRAP inputs, so any engine parsing
+    # bug (block removal, tag strip, decode order, collapse) breaks
+    # the match rather than being mirrored.
+    """WITH base AS (
+  SELECT doc_id, doc_id % 6 AS m,
+         trim(regexp_replace(text, '[ \\t\\r\\n]+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN m = 5 THEN 'Multi line title' ELSE 'T' || doc_id END AS title,
+  CASE WHEN m = 4 THEN 'Summary of doc ' || doc_id END AS meta_description,
+  CASE m WHEN 3 THEN '<i> &lt;j&gt; "q''s" ' || t ELSE t END AS text,
+  CAST(length(CASE m WHEN 3 THEN '<i> &lt;j&gt; "q''s" ' || t ELSE t END)
+       AS INT) AS n_chars
+FROM base""",
+)
+def html_text_extract_q(spark, sf_dir):
+    """HTML main-text extraction (functions/html.py): script/style/
+    comment block removal, tag strip, entity decode (after the strip,
+    &amp; last), whitespace collapse, plus title and meta-description
+    capture. Six wrapper classes exercise each hazard: tag-soup inside
+    <script>, tags inside comments, single- and double-escaped
+    entities, multiline titles, and newline-ridden markup. Pure
+    map-side codegen, zero exchanges."""
+    from don_crawler_spark.functions.html import html_text_extract
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    tid = F.concat(F.lit("T"), F.col("doc_id"))
+    head = F.concat(F.lit("<html><head><title>"), tid, F.lit("</title>"))
+    body = F.concat(F.lit("<body><p>"), F.col("text"), F.lit("</p></body>"))
+    html = (
+        F.when(
+            m == 1,
+            F.concat(
+                head,
+                F.lit("</head><body><p>"),
+                F.col("text"),
+                F.lit(
+                    '</p><script type="text/javascript">if(a<b)'
+                    '{document.write("<div>x</div>");}</script>'
+                    "</body></html>"
+                ),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                head,
+                F.lit(
+                    "</head><body><style>p{color:red}</style>"
+                    "<!-- hidden <b>bold</b> --><p>"
+                ),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                head,
+                F.lit(
+                    "</head><body><p>&lt;i&gt; &amp;lt;j&amp;gt; "
+                    "&quot;q&#39;s&quot;&nbsp;"
+                ),
+                F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+        )
+        .when(
+            m == 4,
+            F.concat(
+                head,
+                F.lit('<meta name="description" content="Summary of doc '),
+                F.col("doc_id"),
+                F.lit('"></head>'),
+                body,
+                F.lit("</html>"),
+            ),
+        )
+        .when(
+            m == 5,
+            F.concat(
+                F.lit("<html>\n\t<head>\n<title>\n Multi line\n\ttitle\n"
+                      "</title>\n</head>\n<body>\n<p>\n"),
+                F.col("text"),
+                F.lit("\n</p>\n</body>\n</html>"),
+            ),
+        )
+        .otherwise(F.concat(head, F.lit("</head>"), body, F.lit("</html>")))
+    )
+    return docs.select("doc_id", *html_text_extract(html))
+
+
 # ---------------------------------------------------------------------------
 # driver contract surface
 # ---------------------------------------------------------------------------
