@@ -4196,6 +4196,30 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "retrieval_inverted_index",
+    # Same (term, doc) tf counts, same shard split, same doc-ordered
+    # "doc:tf" posting rendering.
+    f"""WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY term, doc_id)
+SELECT term, CAST(doc_id % 8 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id) AS postings
+FROM tf GROUP BY term, doc_id % 8""",
+)
+def inverted_index_q(spark, sf_dir):
+    """Sharded inverted-index build (operators/retrieval.py
+    inverted_index): per-(term, doc_id % 8 shard) document frequency,
+    total tf, and the doc-ordered ``doc:tf`` posting string — the
+    materialized artifact behind the BM25 rows. Postings shard by doc
+    id so hot terms stay bounded per row (the partitioned-index
+    layout); the shuffles carry longs, never text."""
+    return RT.inverted_index(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "html_text_extract",
     # Closed-form oracle: DuckDB never parses HTML — it computes the
     # expected (title, description, text) for each doc_id % 6 wrapper

@@ -214,3 +214,49 @@ def hybrid_rrf_topk(
             F.round("rrf_raw", 6).alias("rrf"),
         )
     )
+
+
+INDEX_SHARDS = 8
+
+
+def inverted_index(docs: DataFrame, n_shards: int = INDEX_SHARDS) -> DataFrame:
+    """Sharded inverted-index construction — the artifact BM25 serving
+    reads (term -> posting list), built as a table instead of queried
+    on the fly. One row per (term, shard): per-shard document
+    frequency, total term frequency, and the posting list rendered as
+    a deterministic ``doc:tf`` string sorted by doc_id.
+
+    Sharding is the scale contract: postings are grouped by
+    ``doc_id % n_shards``, so a stopword-scale term's list splits into
+    n_shards bounded rows instead of one collect_list the size of the
+    corpus — the standard partitioned-index layout (each shard serves
+    its own doc-id range; per-term stats re-aggregate across shards by
+    summing df). At 100 TB, raise n_shards with the corpus; the plan
+    is unchanged.
+
+    Plan shape: one (term, doc_id) partial-agg shuffle for tf (the
+    shuffle carries two longs per posting, never text), then one
+    (term, shard) shuffle whose groups are posting-shard-bounded.
+    sort_array over (doc_id, tf) structs pins the in-list order, so
+    the rendered string is reproducible and oracle-comparable.
+    """
+    from don_crawler_spark.operators.dedup import tokens_col
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "tf"))),
+        lambda s: F.concat(s["doc_id"], F.lit(":"), s["tf"]),
+    )
+    return (
+        tf.groupBy("term", (F.col("doc_id") % n_shards).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(" ", posting).alias("postings"),
+        )
+        .select("term", "shard", "df", "total_tf", "postings")
+    )
