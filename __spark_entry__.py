@@ -4196,6 +4196,60 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "crawl_snapshot_diff",
+    # Closed-form verdicts from the doc_id classes + the same
+    # md5-prefix fingerprints on the same synthesized texts.
+    """WITH base AS (
+  SELECT doc_id, text, doc_id % 10 AS m10, doc_id % 5 AS m5,
+         'https://host' || doc_id % 25 || '.example/p/' || doc_id AS url
+  FROM documents)
+SELECT url,
+  CASE WHEN m10 = 3 THEN 'added' WHEN m10 = 7 THEN 'removed'
+       WHEN m5 = 0 THEN 'changed' ELSE 'unchanged' END AS verdict,
+  CASE WHEN m10 = 3 THEN NULL
+       ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+       END AS prev_fp,
+  CASE WHEN m10 = 7 THEN NULL
+       WHEN m5 = 0
+         THEN CAST(('0x' || substr(md5(text || ' v2'), 1, 8)) AS BIGINT)
+       ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)
+       END AS curr_fp
+FROM base""",
+)
+def snapshot_diff_q(spark, sf_dir):
+    """Snapshot diff (operators/recrawl.py snapshot_diff): dump N vs
+    N+1 verdicts (added / removed / changed / unchanged) with both
+    content fingerprints. Snapshots are synthesized from documents —
+    doc_id%10==3 absent from prev (added), %10==7 absent from curr
+    (removed), %5==0 rewritten in curr (changed). The oracle derives
+    every verdict closed-form from the classes, so the engine's
+    map-side-fingerprint + full-outer-join pipeline is checked against
+    arithmetic, not mirrored."""
+    from don_crawler_spark.operators.recrawl import snapshot_diff
+
+    base = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("https://host"),
+            F.col("doc_id") % 25,
+            F.lit(".example/p/"),
+            F.col("doc_id"),
+        ).alias("url"),
+    )
+    prev = base.filter(F.col("doc_id") % 10 != 3).select("url", "text")
+    curr = base.filter(F.col("doc_id") % 10 != 7).select(
+        "url",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return snapshot_diff(prev, curr)
+
+
+@_q(
     "retrieval_inverted_index",
     # Same (term, doc) tf counts, same shard split, same doc-ordered
     # "doc:tf" posting rendering.

@@ -118,3 +118,46 @@ def recrawl_frontier_rank(
         .filter(F.col("recrawl_rank") <= cap)
         .select("url", "host", "overdue", "recrawl_rank")
     )
+
+
+def snapshot_diff(prev: DataFrame, curr: DataFrame) -> DataFrame:
+    """Dump-over-dump change classification — the first thing a
+    recurring crawl computes between two snapshots (Common Crawl dump
+    N vs N+1): which URLs appeared, disappeared, changed content, or
+    stayed byte-identical. The added/changed sets seed reprocessing;
+    the changed/unchanged ratio per host feeds the change-rate
+    estimator above (crawl_revisit_priority).
+
+    Inputs are (url, text) relations; output one row per url in either
+    snapshot with verdict in {added, removed, changed, unchanged} and
+    both content fingerprints (null on the missing side —
+    degrade-don't-drop).
+
+    Scale contract: both sides are reduced MAP-SIDE to (url,
+    md5-prefix int64) before the join, so the one full-outer shuffle
+    carries ~16 bytes per URL and the page text never crosses an
+    exchange (plan-asserted) — at 10^10 URLs the diff is a few hundred
+    GB of shuffle, not the corpus. The fingerprint is the repo-wide
+    md5-prefix convention (hygiene.normalize_ccnet), exactly
+    replayable in the DuckDB oracle.
+    """
+
+    def fp(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            "url",
+            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(name),
+        )
+
+    a = fp(prev, "prev_fp")
+    b = fp(curr, "curr_fp")
+    verdict = (
+        F.when(F.col("prev_fp").isNull(), "added")
+        .when(F.col("curr_fp").isNull(), "removed")
+        .when(F.col("prev_fp") == F.col("curr_fp"), "unchanged")
+        .otherwise("changed")
+    )
+    return a.join(b, "url", "full_outer").select(
+        "url", verdict.alias("verdict"), "prev_fp", "curr_fp"
+    )

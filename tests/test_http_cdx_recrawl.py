@@ -400,3 +400,45 @@ def test_meta_robots_is_map_side(spark) -> None:
     plan = _plan(df.select(*meta_robots_flags(F.col("html"))))
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_snapshot_diff_verdicts(spark) -> None:
+    from don_crawler_spark.operators.recrawl import snapshot_diff
+
+    prev = spark.createDataFrame(
+        [("u1", "same"), ("u2", "old"), ("u3", "gone")],
+        "url string, text string",
+    )
+    curr = spark.createDataFrame(
+        [("u1", "same"), ("u2", "new"), ("u4", "fresh")],
+        "url string, text string",
+    )
+    got = {
+        r["url"]: (r["verdict"], r["prev_fp"] is None, r["curr_fp"] is None)
+        for r in snapshot_diff(prev, curr).collect()
+    }
+    assert got == {
+        "u1": ("unchanged", False, False),
+        "u2": ("changed", False, False),
+        "u3": ("removed", False, True),
+        "u4": ("added", True, False),
+    }
+
+
+def test_snapshot_diff_text_never_crosses_exchange(spark) -> None:
+    from don_crawler_spark.operators.recrawl import snapshot_diff
+    from don_crawler_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    a = docs.selectExpr("CAST(doc_id AS STRING) AS url", "text")
+    b = docs.selectExpr("CAST(doc_id AS STRING) AS url", "upper(text) AS text")
+    plan = (
+        snapshot_diff(a, b)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    # fingerprints are computed map-side; no exchange row carries text
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in frag.split("\n")[0]
