@@ -4196,6 +4196,57 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "dedup_containment",
+    # Same synthesized corpus (documents + 12-token excerpt docs at
+    # doc_id+100000), same shingle universe and df cap, same exact
+    # integer permille containment-of-the-smaller-side filter.
+    f"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         array_to_string(list_slice({SQL_TOKENS}, 1, 12), ' ') AS text
+  FROM documents WHERE doc_id % 20 = 0),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len({SQL_TOKENS}) - 2, 0)),
+      i -> {SQL_TOKENS}[i] || ' ' || {SQL_TOKENS}[i+1] || ' ' || {SQL_TOKENS}[i+2])
+  )) AS shingle FROM corpus
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 SEMI JOIN hot USING (shingle)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, shared, sa.n AS na, sb.n AS nb,
+       CASE WHEN sa.n <= sb.n THEN doc_a ELSE doc_b END AS contained_doc
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared * 1000 >= 800 * least(sa.n, sb.n)""",
+)
+def dedup_containment_q(spark, sf_dir):
+    """One-sided shingle containment (operators/dedup.py
+    ngram_containment_pairs): quote-inclusion detection Jaccard
+    structurally misses — every doc_id%20==0 document gets a 12-token
+    excerpt doc injected at doc_id+100000, whose shingles are fully
+    contained in its source (containment 1000 permille, Jaccard ~0.1).
+    Exact integer permille filter, df-capped shingle universe, one
+    shingle-keyed self-join."""
+    docs = load(spark, sf_dir, "documents")
+    toks = DD.tokens_col()
+    excerpts = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(excerpts)
+    return DD.ngram_containment_pairs(
+        corpus, n=3, tau_permille=800, max_shingle_df=50
+    )
+
+
+@_q(
     "crawl_snapshot_diff",
     # Closed-form verdicts from the doc_id classes + the same
     # md5-prefix fingerprints on the same synthesized texts.

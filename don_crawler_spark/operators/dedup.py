@@ -662,3 +662,80 @@ def dedup_cluster_representative(
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    tau_permille: int = 800,
+    max_shingle_df: int | None = None,
+    persist_shingles: bool = False,
+) -> DataFrame:
+    """Near-SUPERSET pairs by one-sided shingle containment — Broder's
+    second resemblance measure: containment(A in B) = |A∩B| / |A|.
+    Jaccard misses quote inclusion (a paragraph embedded in a 100x
+    larger page scores |A|/|B| ~ 0.01); containment of the smaller
+    side reads ~1.0 there, which is exactly the boilerplate-quotation
+    / syndicated-excerpt signal a webtext dedup wants.
+
+    Returns (doc_a, doc_b, shared, na, nb, contained_doc) with
+    doc_a < doc_b, where the pair passes when the SMALLER shingle set
+    is tau-contained in the larger:
+
+        shared * 1000 >= tau_permille * least(na, nb)
+
+    — exact integer arithmetic, no float threshold ULP hazard (the
+    repo-wide permille discipline). ``contained_doc`` names the
+    contained (smaller, tie -> doc_a) side: the candidate to drop or
+    link as an excerpt.
+
+    Plan shape is ngram_jaccard_pairs' (same explode, same optional
+    df cap — one boilerplate shingle is f^2 pair rows without it, same
+    shingle-keyed self-join as the only wide shuffle); only the final
+    filter predicate differs, so the two metrics share cost and the
+    persist tradeoff.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(n)).alias("shingle")
+    )
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("shared") * 1000
+            >= F.lit(tau_permille) * F.least("na", "nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "na",
+            "nb",
+            F.when(F.col("na") <= F.col("nb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained_doc"),
+        )
+    )

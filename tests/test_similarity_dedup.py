@@ -699,3 +699,50 @@ def test_ivf_pq_precomputed_index_is_identical(spark, emb) -> None:
         index=(pq_encode(emb), ivf_assign(emb, 16)),
     ).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, stored))
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark) -> None:
+    from don_crawler_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon"
+    page = quote + " " + " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    cont = ngram_containment_pairs(docs, tau_permille=800).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    # the quote's 3 shingles are all inside the page
+    assert (r["doc_a"], r["doc_b"], r["shared"], r["na"]) == (1, 2, 3, 3)
+    assert r["contained_doc"] == 1
+    # Jaccard at 0.5 structurally misses the same pair
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_containment_permille_boundary_is_exact(spark) -> None:
+    from don_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    # doc 1 has 5 shingles (7 tokens), 4 shared with doc 2: exactly
+    # 800 permille — the >= boundary must include it
+    d1 = "a b c d e f g"
+    d2 = "a b c d e f x " + " ".join(f"y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    hit = ngram_containment_pairs(docs, tau_permille=800).collect()
+    assert [(r["shared"], r["na"]) for r in hit] == [(4, 5)]
+    # one permille tighter and the pair is out — no float fuzz
+    assert ngram_containment_pairs(docs, tau_permille=801).count() == 0
+
+
+def test_containment_tie_names_doc_a(spark) -> None:
+    from don_crawler_spark.operators.dedup import ngram_containment_pairs
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s"), (9, "p q r s")], "doc_id long, text string"
+    )
+    r = ngram_containment_pairs(docs, tau_permille=1000).collect()[0]
+    assert (r["na"], r["nb"], r["contained_doc"]) == (2, 2, 7)
