@@ -4196,6 +4196,56 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "text_script_profile",
+    # Same five synthesized script classes; counts via RE2's
+    # \p{Script} classes (probed identical to Java's \p{IsScript}),
+    # same fixed-priority dominant verdict.
+    """WITH base AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 1 THEN repeat('Привет мир ', doc_id % 7 + 1)
+      WHEN 2 THEN repeat('汉字文本', doc_id % 5 + 1)
+      WHEN 3 THEN repeat('مرحبا ', 3) || '123'
+      WHEN 4 THEN 'abc АБВ'
+      ELSE text END AS t
+  FROM documents),
+c AS (SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '\\p{Latin}')) AS BIGINT) AS n_latin,
+  CAST(len(regexp_extract_all(t, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+  CAST(len(regexp_extract_all(t, '\\p{Han}')) AS BIGINT) AS n_han,
+  CAST(len(regexp_extract_all(t, '\\p{Arabic}')) AS BIGINT) AS n_arabic,
+  CAST(len(regexp_extract_all(t, '[0-9]')) AS BIGINT) AS n_digit,
+  CAST(length(t) AS BIGINT) AS n_chars
+FROM base)
+SELECT *, CASE
+  WHEN greatest(n_latin, n_cyrillic, n_han, n_arabic) = 0 THEN 'none'
+  WHEN n_latin = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'latin'
+  WHEN n_cyrillic = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'cyrillic'
+  WHEN n_han = greatest(n_latin, n_cyrillic, n_han, n_arabic) THEN 'han'
+  ELSE 'arabic' END AS dominant_script
+FROM c""",
+)
+def script_profile_q(spark, sf_dir):
+    """Unicode script mix (operators/textstats.py script_profile):
+    per-doc character counts for the four major script classes +
+    digits, and the fixed-priority dominant-script verdict. Five
+    synthesized classes cover each script, a digit-bearing Arabic mix,
+    and a latin/cyrillic tie resolved by priority. Engine counts with
+    Java \\p{IsScript}, oracle with RE2 \\p{Script} — cross-engine
+    agreement is part of what the row pins. Map-side only."""
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    t = (
+        F.when(m == 1, F.repeat(F.lit("Привет мир "), F.col("doc_id") % 7 + 1))
+        .when(m == 2, F.repeat(F.lit("汉字文本"), F.col("doc_id") % 5 + 1))
+        .when(m == 3, F.concat(F.repeat(F.lit("مرحبا "), 3), F.lit("123")))
+        .when(m == 4, F.lit("abc АБВ"))
+        .otherwise(F.col("text"))
+    )
+    return TS.script_profile(docs.select("doc_id", t.alias("text")))
+
+
+@_q(
     "dedup_containment",
     # Same synthesized corpus (documents + 12-token excerpt docs at
     # doc_id+100000), same shingle universe and df cap, same exact

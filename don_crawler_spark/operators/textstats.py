@@ -381,3 +381,58 @@ def corpus_drift_topk(docs: DataFrame, k: int = DRIFT_TOPK) -> DataFrame:
         .orderBy(F.abs(F.col("shift_num")).desc(), "token")
         .limit(k)
     )
+
+
+# (column name, Java regex class, priority order for the dominant
+# tie-break). DuckDB mirrors with RE2's \p{Script} spellings — probed
+# identical on mixed-script samples.
+SCRIPT_CLASSES = (
+    ("n_latin", r"\p{IsLatin}"),
+    ("n_cyrillic", r"\p{IsCyrillic}"),
+    ("n_han", r"\p{IsHan}"),
+    ("n_arabic", r"\p{IsArabic}"),
+)
+
+
+def script_profile(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-document Unicode script mix — the signal that routes a
+    multilingual crawl: fastText-style language ID is near-free once
+    the script is known (Cyrillic text is never Portuguese), mixed
+    profiles flag boilerplate-wrapped translations, and script-vs-
+    declared-language disagreement is a classic mislabeling detector.
+
+    Counts characters per major script class (Java ``\\p{IsScript}``
+    classes; the DuckDB oracle replays with RE2's ``\\p{Script}``
+    spelling — verified identical), plus digits, and names the
+    dominant script with a fixed priority tie-break (latin > cyrillic
+    > han > arabic > none, first max wins) so the verdict is
+    deterministic and engine-independent.
+
+    Pure codegen regexp_count projections — map-side only, zero
+    exchanges, zero Python.
+    """
+    counts = [
+        F.regexp_count(F.col(text), F.lit(pat)).cast("bigint").alias(name)
+        for name, pat in SCRIPT_CLASSES
+    ]
+    cols = [name for name, _ in SCRIPT_CLASSES]
+    top = F.greatest(*[F.col(c) for c in cols])
+    dominant = F.when(top == 0, F.lit("none"))
+    for c in cols:
+        dominant = dominant.when(
+            F.col(c) == top, F.lit(c[len("n_") :])
+        )
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.regexp_count(F.col(text), F.lit("[0-9]"))
+        .cast("bigint")
+        .alias("n_digit"),
+        F.length(text).cast("bigint").alias("n_chars"),
+    ).select(
+        "doc_id",
+        *cols,
+        "n_digit",
+        "n_chars",
+        dominant.alias("dominant_script"),
+    )

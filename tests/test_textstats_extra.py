@@ -126,3 +126,45 @@ def test_corpus_cube_plan_single_exchange(spark) -> None:
     assert plan.count("Exchange") == 1
     assert "Expand" in plan
     assert "EvalPython" not in plan
+
+
+def test_script_profile_counts_and_dominance(spark) -> None:
+    from don_crawler_spark.operators.textstats import script_profile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hello мир"),          # latin 5, cyrillic 3 -> latin
+            (1, "Привет world wide"),  # cyrillic 6, latin 9 -> latin
+            (2, "汉字"),                # han only
+            (3, "مرحبا 42"),           # arabic + digits
+            (4, "  12 34 "),           # digits only: no script -> none
+            (5, "abc АБВ"),            # 3 vs 3 tie -> priority latin
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_latin"], r["n_cyrillic"], r["n_han"], r["n_arabic"],
+            r["n_digit"], r["dominant_script"],
+        )
+        for r in script_profile(docs).collect()
+    }
+    assert got[0] == (5, 3, 0, 0, 0, "latin")
+    assert got[1] == (9, 6, 0, 0, 0, "latin")
+    assert got[2] == (0, 0, 2, 0, 0, "han")
+    assert got[3] == (0, 0, 0, 5, 2, "arabic")
+    assert got[4] == (0, 0, 0, 0, 4, "none")
+    assert got[5] == (3, 3, 0, 0, 0, "latin")
+
+
+def test_script_profile_plan_is_map_side(spark) -> None:
+    from don_crawler_spark.operators.textstats import script_profile
+
+    plan = (
+        script_profile(load(spark, SF, "documents", respread=False))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
