@@ -4196,6 +4196,53 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "multimodal_mime_sniff",
+    # Closed-form oracle: the verdict each doc_id % 9 payload class
+    # MUST sniff, independent of the hex ladder. Class 8 (plain text)
+    # pins that non-HTML text degrades to octet-stream, never html.
+    """SELECT doc_id,
+  CASE doc_id % 9
+    WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'image/png'
+    WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
+    WHEN 4 THEN 'application/gzip' WHEN 5 THEN 'application/zip'
+    WHEN 6 THEN 'audio/wav' WHEN 7 THEN 'text/html'
+    ELSE 'application/octet-stream' END AS mime,
+  CASE doc_id % 9
+    WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'image'
+    WHEN 3 THEN 'document' WHEN 4 THEN 'archive' WHEN 5 THEN 'archive'
+    WHEN 6 THEN 'audio' WHEN 7 THEN 'text'
+    ELSE 'binary' END AS media_class
+FROM documents""",
+)
+def mime_sniff_q(spark, sf_dir):
+    """Magic-byte MIME sniffing (operators/multimodal.py mime_sniff):
+    trust-the-bytes detection over binary payloads — JPEG/PNG/GIF/PDF/
+    GZIP/ZIP leading magic, RIFF form-tag disambiguation (WAVE), an
+    ASCII html probe, octet-stream fallback. Nine payload classes are
+    synthesized with real magic bytes via unhex; the oracle states
+    each class's verdict closed-form. Map-side only."""
+    from don_crawler_spark.operators.multimodal import mime_sniff
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 9
+    hx = (
+        F.when(m == 0, "FFD8FFE000104A464946")
+        .when(m == 1, "89504E470D0A1A0A0000000D49484452")
+        .when(m == 2, "4749463839610A000A00")
+        .when(m == 3, "255044462D312E340A25")
+        .when(m == 4, "1F8B0800000000000003")
+        .when(m == 5, "504B0304140000000800")
+        .when(m == 6, "524946462400000057415645666D7420")
+    )
+    payload = F.coalesce(
+        F.unhex(hx),
+        F.when(m == 7, F.encode(F.lit("<!doctype html><p>x</p>"), "utf-8")),
+        F.encode(F.col("text"), "utf-8"),
+    )
+    return docs.select("doc_id", *mime_sniff(payload))
+
+
+@_q(
     "text_script_profile",
     # Same five synthesized script classes; counts via RE2's
     # \p{Script} classes (probed identical to Java's \p{IsScript}),

@@ -105,3 +105,60 @@ def make_fake_media(docs: DataFrame) -> DataFrame:
         (F.pmod(F.col("doc_id") * 37, F.lit(1920)) + 16).cast("int").alias("width"),
         (F.pmod(F.col("doc_id") * 53, F.lit(1080)) + 16).cast("int").alias("height"),
     )
+
+
+# (hex prefix at offset 0, mime, media class). First match wins; RIFF
+# containers disambiguate on bytes 9-12 (checked before the plain
+# prefixes so the generic RIFF marker never shadows them).
+MAGIC_PREFIXES = (
+    ("FFD8FF", "image/jpeg", "image"),
+    ("89504E470D0A1A0A", "image/png", "image"),
+    ("474946383761", "image/gif", "image"),
+    ("474946383961", "image/gif", "image"),
+    ("255044462D", "application/pdf", "document"),
+    ("1F8B", "application/gzip", "archive"),
+    ("504B0304", "application/zip", "archive"),
+)
+_RIFF = "52494646"
+_RIFF_KINDS = (("57415645", "audio/wav", "audio"), ("57454250", "image/webp", "image"))
+
+
+def mime_sniff(data) -> list:
+    """Columns ``mime`` and ``media_class`` for a binary payload by
+    magic-byte sniffing — the trust-the-bytes-not-the-header rule every
+    archive pipeline needs (Content-Type on real WARC responses is
+    wrong or missing constantly; Common Crawl's own indexing sniffs).
+
+    Detection is a prefix ladder over the HEX of the first 16 bytes
+    (hex comparison sidesteps binary-collation differences across
+    engines): JPEG/PNG/GIF/PDF/GZIP/ZIP by leading magic, RIFF
+    containers (WAV/WEBP) by the bytes-9-12 form tag, an ASCII
+    ``<html`` / ``<!DOCTYPE`` probe (case-insensitive) for text/html,
+    octet-stream otherwise. Pure codegen hex/substring expressions —
+    map-side only, zero exchanges, zero Python.
+    """
+    h = F.hex(F.substring(data, 1, 16))
+    head = F.upper(F.substring(data.cast("string"), 1, 16))
+    mime = F.when(
+        h.startswith(_RIFF) & (F.substring(h, 17, 8) == _RIFF_KINDS[0][0]),
+        F.lit(_RIFF_KINDS[0][1]),
+    ).when(
+        h.startswith(_RIFF) & (F.substring(h, 17, 8) == _RIFF_KINDS[1][0]),
+        F.lit(_RIFF_KINDS[1][1]),
+    )
+    cls = F.when(
+        h.startswith(_RIFF) & (F.substring(h, 17, 8) == _RIFF_KINDS[0][0]),
+        F.lit(_RIFF_KINDS[0][2]),
+    ).when(
+        h.startswith(_RIFF) & (F.substring(h, 17, 8) == _RIFF_KINDS[1][0]),
+        F.lit(_RIFF_KINDS[1][2]),
+    )
+    for pref, m, c in MAGIC_PREFIXES:
+        mime = mime.when(h.startswith(pref), F.lit(m))
+        cls = cls.when(h.startswith(pref), F.lit(c))
+    is_html = head.startswith("<HTML") | head.startswith("<!DOCTYPE")
+    mime = mime.when(is_html, F.lit("text/html")).otherwise(
+        F.lit("application/octet-stream")
+    )
+    cls = cls.when(is_html, F.lit("text")).otherwise(F.lit("binary"))
+    return [mime.alias("mime"), cls.alias("media_class")]

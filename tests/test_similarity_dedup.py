@@ -746,3 +746,44 @@ def test_containment_tie_names_doc_a(spark) -> None:
     )
     r = ngram_containment_pairs(docs, tau_permille=1000).collect()[0]
     assert (r["na"], r["nb"], r["contained_doc"]) == (2, 2, 7)
+
+
+def test_mime_sniff_edges(spark) -> None:
+    from don_crawler_spark.operators.multimodal import mime_sniff
+
+    rows = [
+        (0, bytes.fromhex("524946462400000057454250565038")),  # RIFF+WEBP
+        (1, bytes.fromhex("52494646240000004A554E4B")),  # RIFF, unknown form
+        (2, b"<HTML><body>x</body>"),  # upper-case html probe
+        (3, b"\x1f"),  # truncated: one magic byte is not gzip
+        (4, b""),  # empty payload degrades, never errors
+        (5, bytes.fromhex("474946383761") + b"rest"),  # GIF87a variant
+    ]
+    df = spark.createDataFrame(rows, "id int, data binary")
+    got = {
+        r["id"]: (r["mime"], r["media_class"])
+        for r in df.select("id", *mime_sniff(F.col("data"))).collect()
+    }
+    assert got[0] == ("image/webp", "image")
+    assert got[1] == ("application/octet-stream", "binary")
+    assert got[2] == ("text/html", "text")
+    assert got[3] == ("application/octet-stream", "binary")
+    assert got[4] == ("application/octet-stream", "binary")
+    assert got[5] == ("image/gif", "image")
+
+
+def test_mime_sniff_plan_is_map_side(spark) -> None:
+    from don_crawler_spark.operators.multimodal import make_fake_media, mime_sniff
+    from don_crawler_spark.sources.tables import load
+
+    media = make_fake_media(
+        load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    )
+    plan = (
+        media.select("media_id", *mime_sniff(F.col("payload")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
