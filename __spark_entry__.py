@@ -4196,6 +4196,73 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "warc_revisit_records",
+    # Same synthesized capture set (3 captures per doc, payloads shared
+    # across 5-doc groups, one mutated capture per doc_id%3==0), same
+    # md5 digests; the original per digest replayed with a window
+    # instead of the engine's struct-min aggregate.
+    """WITH caps AS (
+  SELECT 'https://host' || (d.doc_id % 25) || '.example/p/' || d.doc_id AS url,
+         CAST(d.doc_id * 10 + k.k AS BIGINT) AS warc_ts,
+         md5(p.text ||
+             CASE WHEN k.k = 2 AND d.doc_id % 3 = 0 THEN ' v2' ELSE '' END
+         ) AS digest
+  FROM documents d
+  JOIN documents p ON p.doc_id = d.doc_id - d.doc_id % 5
+  CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY digest ORDER BY warc_ts, url)
+            AS rn,
+         first_value(url) OVER (PARTITION BY digest ORDER BY warc_ts, url)
+            AS f_url,
+         first_value(warc_ts) OVER (PARTITION BY digest ORDER BY warc_ts, url)
+            AS f_ts
+  FROM caps)
+SELECT url, warc_ts, digest,
+       CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+       CASE WHEN rn > 1 THEN f_url END AS refers_to_url,
+       CASE WHEN rn > 1 THEN f_ts END AS refers_to_ts
+FROM ranked""",
+)
+def revisit_records_q(spark, sf_dir):
+    """WARC revisit-record classification (sources/warc.py
+    revisit_records): the identical-payload-digest dedup profile —
+    first capture per digest stays a full response record, later
+    captures become revisits pointing at the original. Captures are
+    synthesized 3 per document with payloads shared across 5-doc
+    groups (cross-URL dups) and one mutated third capture per
+    doc_id%3==0 (a fresh payload mid-history). The engine's struct-min
+    aggregate is replayed by an order-equivalent window in the
+    oracle."""
+    from don_crawler_spark.sources.warc import revisit_records
+
+    docs = load(spark, sf_dir, "documents")
+    shared = docs.select(
+        F.col("doc_id").alias("p_id"), F.col("text").alias("p_text")
+    )
+    caps = (
+        docs.select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"))
+        .join(shared, F.col("p_id") == F.col("doc_id") - F.col("doc_id") % 5)
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                F.col("doc_id") % 25,
+                F.lit(".example/p/"),
+                F.col("doc_id"),
+            ).alias("url"),
+            (F.col("doc_id") * 10 + F.col("k")).cast("bigint").alias("warc_ts"),
+            F.when(
+                (F.col("k") == 2) & (F.col("doc_id") % 3 == 0),
+                F.concat("p_text", F.lit(" v2")),
+            )
+            .otherwise(F.col("p_text"))
+            .alias("text"),
+        )
+    )
+    return revisit_records(caps)
+
+
+@_q(
     "multimodal_mime_sniff",
     # Closed-form oracle: the verdict each doc_id % 9 payload class
     # MUST sniff, independent of the hex ladder. Class 8 (plain text)

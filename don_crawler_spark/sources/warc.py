@@ -249,3 +249,49 @@ def cdx_index(records: DataFrame) -> DataFrame:
         F.coalesce(F.sum("rec_bytes").over(w), F.lit(0)).alias("offset"),
         F.col("rec_bytes").alias("length"),
     )
+
+
+def revisit_records(captures: DataFrame) -> DataFrame:
+    """Classify captures into WARC ``response`` vs ``revisit`` records —
+    the WARC 1.1 identical-payload-digest profile every production
+    archive writer applies (Heritrix / Common Crawl): the FIRST capture
+    of a payload is stored in full; every later capture of the same
+    bytes is written as a ``revisit`` record that points at the
+    original instead of duplicating the payload. On real crawls this is
+    the single biggest storage reducer (unchanged pages re-fetched
+    every dump).
+
+    Input: one row per capture (``url, warc_ts, text``). Output: the
+    captures with ``digest`` (the repo-wide md5 convention),
+    ``record_type`` ('response' | 'revisit'), and for revisits the
+    ``refers_to_url`` / ``refers_to_ts`` of the original (nulls on
+    originals — degrade-don't-drop). The original per digest is the
+    (warc_ts, url)-least capture: deterministic and order-free.
+
+    Scale contract: NOT a window over digest — a hot digest (the empty
+    page, a cookie wall) would put millions of captures in one window
+    partition. Instead the original is computed as a struct-min
+    aggregate (map-side partial combine collapses each partition to
+    one candidate per digest before the single metadata-only shuffle)
+    and joined back on digest. Payload text never crosses an exchange
+    — digests are computed map-side and the join carries (digest, ts,
+    url).
+    """
+    caps = captures.select(
+        "url", "warc_ts", F.md5("text").alias("digest")
+    )
+    firsts = caps.groupBy("digest").agg(
+        F.min(F.struct("warc_ts", "url")).alias("first")
+    )
+    j = caps.join(firsts, "digest")
+    is_orig = (F.col("warc_ts") == F.col("first.warc_ts")) & (
+        F.col("url") == F.col("first.url")
+    )
+    return j.select(
+        "url",
+        "warc_ts",
+        "digest",
+        F.when(is_orig, "response").otherwise("revisit").alias("record_type"),
+        F.when(~is_orig, F.col("first.url")).alias("refers_to_url"),
+        F.when(~is_orig, F.col("first.warc_ts")).alias("refers_to_ts"),
+    )

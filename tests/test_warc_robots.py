@@ -510,3 +510,51 @@ def test_parse_feeds_filter(spark) -> None:
         ("c.com", "/tmp/x"),
     }
     assert allowed.count() == 4
+
+
+def test_revisit_records_digest_dedup(spark) -> None:
+    from don_crawler_spark.sources.warc import revisit_records
+
+    caps = spark.createDataFrame(
+        [
+            ("u/a", 10, "same bytes"),
+            ("u/b", 20, "same bytes"),   # later, other URL: revisit -> u/a
+            ("u/a", 30, "same bytes"),   # recrawl of u/a: revisit -> u/a@10
+            ("u/a", 40, "new bytes"),    # content changed: fresh response
+            ("u/c", 10, "tie bytes"),
+            ("u/d", 10, "tie bytes"),    # same ts: url tie-break -> u/c
+        ],
+        "url string, warc_ts long, text string",
+    )
+    got = {
+        (r["url"], r["warc_ts"]): (
+            r["record_type"], r["refers_to_url"], r["refers_to_ts"]
+        )
+        for r in revisit_records(caps).collect()
+    }
+    assert got[("u/a", 10)] == ("response", None, None)
+    assert got[("u/b", 20)] == ("revisit", "u/a", 10)
+    assert got[("u/a", 30)] == ("revisit", "u/a", 10)
+    assert got[("u/a", 40)] == ("response", None, None)
+    assert got[("u/c", 10)] == ("response", None, None)
+    assert got[("u/d", 10)] == ("revisit", "u/c", 10)
+
+
+def test_revisit_records_plan_no_window_no_text_shuffle(spark) -> None:
+    from don_crawler_spark.sources.warc import revisit_records
+    from don_crawler_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    caps = docs.selectExpr(
+        "CAST(doc_id AS STRING) AS url", "doc_id AS warc_ts", "text"
+    )
+    plan = (
+        revisit_records(caps)._jdf.queryExecution().executedPlan().toString()
+    )
+    # struct-min aggregate with map-side partial combine, never a
+    # per-digest window (hot digests would skew a window partition)
+    assert "Window" not in plan
+    assert "partial_min" in plan
+    assert "EvalPython" not in plan
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "text#" not in frag.split("\n")[0]
