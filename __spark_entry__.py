@@ -4196,6 +4196,31 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "corpus_vocab_growth",
+    # Direct cumulative replay: for each checkpoint, distinct tokens
+    # and token volume over the first N docs — the definition the
+    # engine's min-bucket reformulation must reproduce exactly.
+    f"""WITH tok AS (
+  SELECT doc_id, unnest({SQL_TOKENS}) AS token FROM documents),
+cp AS (SELECT unnest([10, 25, 50, 100, 250, 500, 1000]) AS n_docs)
+SELECT cp.n_docs,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS vocab_size,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM cp JOIN tok ON tok.doc_id + 1 <= cp.n_docs
+GROUP BY cp.n_docs""",
+)
+def vocab_growth_q(spark, sf_dir):
+    """Vocabulary growth curve (operators/textstats.py
+    vocab_growth_curve): Heaps'-law checkpoints — vocabulary size and
+    token volume after the first N docs. The engine never materializes
+    a running set: a token enters the vocabulary at its min doc
+    bucket, so the curve is two bounded aggregates over the per-(token,
+    bucket) frame; the oracle replays the cumulative definition
+    directly."""
+    return TS.vocab_growth_curve(load(spark, sf_dir, "documents"))
+
+
+@_q(
     "warc_revisit_records",
     # Same synthesized capture set (3 captures per doc, payloads shared
     # across 5-doc groups, one mutated capture per doc_id%3==0), same

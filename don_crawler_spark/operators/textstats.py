@@ -436,3 +436,68 @@ def script_profile(docs: DataFrame, text: str = "text") -> DataFrame:
         "n_chars",
         dominant.alias("dominant_script"),
     )
+
+
+GROWTH_CHECKPOINTS = (10, 25, 50, 100, 250, 500, 1000)
+
+
+def vocab_growth_curve(
+    docs: DataFrame, checkpoints: tuple[int, ...] = GROWTH_CHECKPOINTS
+) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law input) — distinct-token
+    vocabulary size and cumulative token volume after the first N
+    documents, for a fixed checkpoint ladder. The standard corpus-QA
+    artifact: a growth exponent that flattens too early means heavy
+    duplication or templated text; one that never flattens means
+    tokenizer-hostile noise (OCR garbage, binary-in-text).
+
+    Naive cumulative-distinct is a running set — unbounded state. The
+    exact reformulation: a token FIRST enters the vocabulary at its
+    minimum doc_id, so
+
+        vocab(N) = |{tokens whose min doc_id <= N}|
+
+    which is one token-keyed partial-agg shuffle (min + per-doc counts)
+    followed by a checkpoint explode over the tiny per-token frame and
+    a final partial-agg count — no running state, no window, no sort.
+    Token volume reuses the same frame: sum of the token's occurrences
+    in docs <= each checkpoint needs per-(token, bucket) counts, so the
+    first aggregate keys on (token, first bucket that covers the doc)
+    — still one shuffle, carrying two longs per distinct (token,
+    bucket) pair.
+    """
+    cps = sorted(checkpoints)
+    cp_lit = F.array(*[F.lit(c) for c in cps])
+    # bucket(doc) = index of the first checkpoint >= doc_id + 1 (doc
+    # ids are 0-based); docs past the last checkpoint are out of scope
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
+    bucket = F.filter(cp_lit, lambda c: c >= F.col("doc_id") + 1)[0]
+    per = (
+        tok.select("token", bucket.alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("token", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    # first bucket per token -> vocabulary entry point
+    entry = per.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    vocab = (
+        entry.select(
+            F.explode(F.filter(cp_lit, lambda c: c >= F.col("first_bucket")))
+            .alias("n_docs")
+        )
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    volume = (
+        per.select(
+            "n_occ",
+            F.explode(F.filter(cp_lit, lambda c: c >= F.col("bucket"))).alias(
+                "n_docs"
+            ),
+        )
+        .groupBy("n_docs")
+        .agg(F.sum("n_occ").alias("n_tokens"))
+    )
+    return vocab.join(volume, "n_docs").select(
+        "n_docs", "vocab_size", "n_tokens"
+    )

@@ -168,3 +168,36 @@ def test_script_profile_plan_is_map_side(spark) -> None:
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_vocab_growth_matches_cumulative_replay(spark) -> None:
+    from don_crawler_spark.operators.textstats import vocab_growth_curve
+
+    texts = {0: "a b a", 1: "b c", 2: "d d d", 3: "a e"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["n_docs"]: (r["vocab_size"], r["n_tokens"])
+        for r in vocab_growth_curve(docs, checkpoints=(1, 2, 3, 4)).collect()
+    }
+    # cumulative replay from scratch
+    for n in (1, 2, 3, 4):
+        toks = [
+            t for d, s in texts.items() if d + 1 <= n for t in s.split()
+        ]
+        assert got[n] == (len(set(toks)), len(toks)), n
+
+
+def test_vocab_growth_plan_no_window_no_python(spark) -> None:
+    from don_crawler_spark.operators.textstats import vocab_growth_curve
+
+    plan = (
+        vocab_growth_curve(load(spark, SF, "documents", respread=False))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # no running-state construct: the curve is aggregates, not windows
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
