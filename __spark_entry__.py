@@ -4196,6 +4196,34 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "graph_degree_dist",
+    # Same synthetic edges, same exact integer log2 bucket via
+    # length(bin(d)) - 1, same union of out/in histograms.
+    _edge_ctes(211)
+    + """,
+outd AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM edges GROUP BY src),
+ind  AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS degree
+         FROM edges GROUP BY dst),
+h AS (
+  SELECT 'out' AS direction, CAST(length(bin(degree)) - 1 AS INT) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_hosts FROM outd GROUP BY 2
+  UNION ALL
+  SELECT 'in', CAST(length(bin(degree)) - 1 AS INT),
+         CAST(COUNT(*) AS BIGINT) FROM ind GROUP BY 2)
+SELECT direction, bucket, CAST(2 ** bucket AS BIGINT) AS degree_min, n_hosts
+FROM h""",
+)
+def degree_dist_q(spark, sf_dir):
+    """Host-graph degree histogram (operators/graph.py
+    degree_distribution): log2-bucketed in/out-degree counts — the
+    power-law skew audit. Bucket arithmetic is exact integer
+    (length(bin(d)) - 1), so both engines agree bit-for-bit."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.degree_distribution(GR.synth_host_edges(docs, n_hosts=211))
+
+
+@_q(
     "corpus_vocab_growth",
     # Direct cumulative replay: for each checkpoint, distinct tokens
     # and token volume over the first N docs — the definition the

@@ -293,3 +293,42 @@ def components(edges: DataFrame, max_iters: int = 50) -> DataFrame:
     return lab.join(F.broadcast(sizes), "component_id").select(
         "host", "component_id", "n_members", "is_rep"
     )
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed in/out-degree histogram of the host graph — the
+    power-law audit every web-graph pipeline runs before sizing
+    anything downstream (a heavy tail in the in-degree histogram means
+    hub hosts that will skew any dst-keyed shuffle; the crawl's salted
+    windows and the anchor-text partial aggs exist because of exactly
+    this shape).
+
+    Output: (direction, bucket, degree_min, n_hosts) where bucket =
+    floor(log2(degree)) computed EXACTLY as length(bin(degree)) - 1 —
+    integer string arithmetic, no float log ULP hazard, identical in
+    DuckDB — and degree_min = 2^bucket labels the bucket's lower edge.
+
+    Plan: two (src/dst) partial-agg degree counts + two tiny histogram
+    aggregates over the per-host frames, unioned. Every shuffle
+    carries an 8-byte key and a count.
+    """
+    def hist(col: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("host")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+        bucket = (F.length(F.bin("degree")) - 1).cast("int")
+        return (
+            deg.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_hosts"))
+            .select(
+                F.lit(direction).alias("direction"),
+                "bucket",
+                F.expr("shiftleft(CAST(1 AS BIGINT), bucket)")
+                .cast("bigint")
+                .alias("degree_min"),
+                "n_hosts",
+            )
+        )
+
+    return hist("src", "out").unionByName(hist("dst", "in"))

@@ -343,3 +343,38 @@ def test_hits_plan_stays_jvm(spark) -> None:
     edges = spark.createDataFrame([(0, 1)], "src int, dst int")
     plan = hits(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_degree_distribution_buckets(spark) -> None:
+    from don_crawler_spark.operators.graph import degree_distribution
+
+    # out-degrees: host 1 -> 4 edges (bucket 2), host 2 -> 1 (bucket 0)
+    # in-degrees: host 9 <- 3 (bucket 1), hosts 5,6 <- 1 each (bucket 0)
+    edges = spark.createDataFrame(
+        [(1, 9), (1, 9), (1, 9), (1, 5), (2, 6)], "src long, dst long"
+    )
+    got = {
+        (r["direction"], r["bucket"]): (r["degree_min"], r["n_hosts"])
+        for r in degree_distribution(edges).collect()
+    }
+    assert got == {
+        ("out", 2): (4, 1),
+        ("out", 0): (1, 1),
+        ("in", 1): (2, 1),
+        ("in", 0): (1, 2),
+    }
+
+
+def test_degree_distribution_plan_stays_jvm(spark) -> None:
+    from don_crawler_spark.operators.graph import degree_distribution, synth_host_edges
+    from don_crawler_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    plan = (
+        degree_distribution(synth_host_edges(docs))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan
