@@ -107,6 +107,15 @@ HEADLINE_QUERIES = [
     "graph_components",
     "corpus_drift_tokens",
     "html_charset_sniff",
+    "html_text_extract",
+    "retrieval_inverted_index",
+    "crawl_snapshot_diff",
+    "dedup_containment",
+    "text_script_profile",
+    "multimodal_mime_sniff",
+    "warc_revisit_records",
+    "corpus_vocab_growth",
+    "graph_degree_dist",
 ]
 
 
