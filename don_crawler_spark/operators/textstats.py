@@ -471,7 +471,11 @@ def vocab_growth_curve(
     # bucket(doc) = index of the first checkpoint >= doc_id + 1 (doc
     # ids are 0-based); docs past the last checkpoint are out of scope
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("token"))
-    bucket = F.filter(cp_lit, lambda c: c >= F.col("doc_id") + 1)[0]
+    # F.get, not [0]: docs past the last checkpoint produce an EMPTY
+    # filtered array, and [0] on an empty array THROWS under ANSI (the
+    # element_at trap shingles_col documents) — get() nulls them out
+    # and the isNotNull filter drops them as out of scope.
+    bucket = F.get(F.filter(cp_lit, lambda c: c >= F.col("doc_id") + 1), 0)
     per = (
         tok.select("token", bucket.alias("bucket"))
         .filter(F.col("bucket").isNotNull())

@@ -201,3 +201,19 @@ def test_vocab_growth_plan_no_window_no_python(spark) -> None:
     # no running-state construct: the curve is aggregates, not windows
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_vocab_growth_docs_past_last_checkpoint_are_excluded(spark) -> None:
+    # a doc beyond the final checkpoint must be dropped, not crash the
+    # ANSI [0]-on-empty-array trap (regression: surfaced at sf0.1,
+    # where doc ids exceed the 1000-doc checkpoint ladder)
+    from don_crawler_spark.operators.textstats import vocab_growth_curve
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "c"), (5, "z z z")], "doc_id long, text string"
+    )
+    got = {
+        r["n_docs"]: (r["vocab_size"], r["n_tokens"])
+        for r in vocab_growth_curve(docs, checkpoints=(1, 2)).collect()
+    }
+    assert got == {1: (2, 2), 2: (3, 3)}
