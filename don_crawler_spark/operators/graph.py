@@ -212,6 +212,9 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
         edges.select(F.col("src").alias("host"))
         .unionAll(edges.select(F.col("dst").alias("host")))
         .distinct()
+        # referenced in every iteration's two outer joins + the final
+        # projection: pin to one computation (lazy, see loop note)
+        .localCheckpoint(eager=False)
     )
     norm = "DIV greatest(coalesce(m, 0) DIV {n}, 1)".format(n=NANO)
     hub = nodes.select("host", F.lit(NANO).cast("long").alias("h"))
@@ -239,6 +242,14 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             .crossJoin(F.broadcast(hmax))
             .select("host", F.expr(f"coalesce(hr, 0) {norm}").alias("h"))
         )
+        # each half-step's score relation is referenced TWICE (its max
+        # aggregate + the next join), so the unrolled lazy plan
+        # re-derives subtrees compounding per iteration. A LAZY
+        # localCheckpoint (first materialization caches, queries()
+        # stays lazy) pins each half-step to one computation —
+        # measured 14.7s -> ~6s at sf0.1, values bit-identical.
+        auth = auth.localCheckpoint(eager=False)
+        hub = hub.localCheckpoint(eager=False)
     outd = edges.groupBy("src").agg(F.count("*").alias("od"))
     ind = edges.groupBy("dst").agg(F.count("*").alias("id_"))
     return (
