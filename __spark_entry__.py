@@ -4144,19 +4144,21 @@ c AS (SELECT token,
         CAST(SUM(CASE WHEN slice = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
       FROM tok GROUP BY token),
 t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb,
-             CAST(COUNT(*) AS BIGINT) AS v FROM c)
-SELECT token, n_a, n_b,
-       CAST((n_a + 1) * (nb + v) - (n_b + 1) * (na + v) AS BIGINT)
-         AS shift_num
-FROM c CROSS JOIN t
-ORDER BY abs(shift_num) DESC, token LIMIT 50""",
+             CAST(COUNT(*) AS BIGINT) AS v FROM c),
+s AS (SELECT token, n_a, n_b,
+        CAST(n_a + 1 AS HUGEINT) * (nb + v)
+          - CAST(n_b + 1 AS HUGEINT) * (na + v) AS shift
+      FROM c CROSS JOIN t)
+SELECT token, n_a, n_b, CAST(shift AS VARCHAR) AS shift_num
+FROM s ORDER BY abs(shift) DESC, token LIMIT 50""",
 )
 def corpus_drift_q(spark, sf_dir):
     """Unigram distribution shift between corpus slices
     (operators/textstats.py corpus_drift_topk): top-50 tokens by the
-    exact-integer smoothed probability-difference cross-product. One
-    token-keyed partial-agg shuffle + a broadcast single-row totals
-    frame + TakeOrdered — all-BIGINT, no float/log ULP hazards."""
+    exact-integer smoothed probability-difference cross-product in
+    DECIMAL(38,0) (int64 overflows past ~3e9 tokens/slice), emitted as
+    its exact decimal string. One token-keyed partial-agg shuffle + a
+    broadcast single-row totals frame + TakeOrdered."""
     return TS.corpus_drift_topk(load(spark, sf_dir, "documents"))
 
 

@@ -65,6 +65,7 @@ ENTITIES = (
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
+    ("&#34;", '"'),
     ("&#39;", "'"),
     ("&apos;", "'"),
     ("&nbsp;", " "),

@@ -76,6 +76,47 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
     return docs.join(w_min, "doc_id", "left_semi")
 
 
+def _shingle_pair_counts(
+    docs: DataFrame,
+    n: int,
+    max_shingle_df: int | None,
+    persist_shingles: bool,
+) -> DataFrame:
+    """Shared core of the set-overlap pair metrics (Jaccard and
+    containment): explode distinct shingles -> optional df cap ->
+    shingle-keyed self-join -> (doc_a, doc_b, shared, na, nb) with
+    doc_a < doc_b. The callers differ ONLY in the predicate they apply
+    to these five columns, so the plan (and the df-cap / persist
+    semantics documented on ngram_jaccard_pairs) lives once here."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(n)).alias("shingle")
+    )
+    if persist_shingles:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -104,35 +145,8 @@ def ngram_jaccard_pairs(
     upstream explode is expensive relative to the shingle bytes
     (BENCH/regress_probe.py --persist measures both shapes).
     """
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(n)).alias("shingle")
-    )
-    if persist_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_counts(docs, n, max_shingle_df, persist_shingles)
         .withColumn(
             "jaccard",
             F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")),
@@ -693,37 +707,11 @@ def ngram_containment_pairs(
     df cap — one boilerplate shingle is f^2 pair rows without it, same
     shingle-keyed self-join as the only wide shuffle); only the final
     filter predicate differs, so the two metrics share cost and the
-    persist tradeoff.
+    persist tradeoff (and the plan itself lives once, in
+    _shingle_pair_counts).
     """
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(n)).alias("shingle")
-    )
-    if persist_shingles:
-        from pyspark import StorageLevel
-
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    if max_shingle_df is not None:
-        keep = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(keep, "shingle", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _shingle_pair_counts(docs, n, max_shingle_df, persist_shingles)
         .filter(
             F.col("shared") * 1000
             >= F.lit(tau_permille) * F.least("na", "nb")

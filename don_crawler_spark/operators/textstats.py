@@ -349,9 +349,14 @@ def corpus_drift_topk(docs: DataFrame, k: int = DRIFT_TOPK) -> DataFrame:
         shift_num = (c_a + 1)(N_b + V) - (c_b + 1)(N_a + V)
 
     (the common denominator (N_a+V)(N_b+V) is positive and rank-
-    preserving, so it is never materialized). All-BIGINT arithmetic:
-    exact, engine-independent, no float/log ULP hazards — the same
-    fixed-point discipline as pagerank/HITS/recrawl.
+    preserving, so it is never materialized). The cross-product is
+    computed in DECIMAL(38,0) — int64 overflows once a slice passes
+    ~3e9 tokens (a single CC dump), which under ANSI would abort the
+    query at exactly the scale the operator targets — and emitted as
+    its exact decimal STRING: DuckDB's pandas bridge turns wide
+    decimals into lossy float64, strings stay exact in both engines.
+    No float/log ULP hazards anywhere — the pagerank/HITS discipline
+    at 38 digits instead of 18.
 
     Plan shape: one hash-partitioned token aggregate with map-side
     partial combine (the only wide exchange; two small longs per
@@ -359,10 +364,12 @@ def corpus_drift_topk(docs: DataFrame, k: int = DRIFT_TOPK) -> DataFrame:
     frame, then TakeOrderedAndProject(k) on (|shift| DESC, token) — the
     full vocabulary never leaves the executors.
     """
+    from don_crawler_spark.operators.dedup import tokens_col
+
     tok = docs.select(
         (F.col("doc_id") % 2).alias("slice"),
-        F.explode(F.split("text", " ")).alias("token"),
-    ).filter(F.col("token") != "")
+        F.explode(tokens_col()).alias("token"),
+    )
     c = tok.groupBy("token").agg(
         F.sum(F.when(F.col("slice") == 0, 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("slice") == 1, 1).otherwise(0)).alias("n_b"),
@@ -372,14 +379,17 @@ def corpus_drift_topk(docs: DataFrame, k: int = DRIFT_TOPK) -> DataFrame:
         F.sum("n_b").alias("nb"),
         F.count(F.lit(1)).alias("v"),
     )
-    shift = (F.col("n_a") + 1) * (F.col("nb") + F.col("v")) - (
-        F.col("n_b") + 1
-    ) * (F.col("na") + F.col("v"))
+    dec = lambda col: col.cast("decimal(19,0)")
+    shift = (
+        dec(F.col("n_a") + 1) * dec(F.col("nb") + F.col("v"))
+        - dec(F.col("n_b") + 1) * dec(F.col("na") + F.col("v"))
+    ).cast("decimal(38,0)")
     return (
         c.crossJoin(F.broadcast(totals))
-        .select("token", "n_a", "n_b", shift.alias("shift_num"))
-        .orderBy(F.abs(F.col("shift_num")).desc(), "token")
+        .select("token", "n_a", "n_b", shift.alias("_shift"))
+        .orderBy(F.abs(F.col("_shift")).desc(), "token")
         .limit(k)
+        .select("token", "n_a", "n_b", F.col("_shift").cast("string").alias("shift_num"))
     )
 
 

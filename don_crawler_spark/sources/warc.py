@@ -279,7 +279,10 @@ def revisit_records(captures: DataFrame) -> DataFrame:
     """
     caps = captures.select(
         "url", "warc_ts", F.md5("text").alias("digest")
-    )
+    # caps feeds BOTH the struct-min aggregate and the join probe side:
+    # a lazy localCheckpoint pins the payload scan + md5 (the dominant
+    # cost) to one pass over the archive instead of two
+    ).localCheckpoint(eager=False)
     firsts = caps.groupBy("digest").agg(
         F.min(F.struct("warc_ts", "url")).alias("first")
     )

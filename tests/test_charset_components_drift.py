@@ -153,7 +153,8 @@ def _drift_replay(texts_a, texts_b, k=50):
         for tok in vocab
     ]
     rows.sort(key=lambda r: (-abs(r[3]), r[0]))
-    return rows[:k]
+    # the engine emits the exact cross-product as its decimal string
+    return [(t, a, b, str(s)) for t, a, b, s in rows[:k]]
 
 
 def test_corpus_drift_matches_counter_replay(spark) -> None:
@@ -175,7 +176,7 @@ def test_corpus_drift_matches_counter_replay(spark) -> None:
     )
     assert got == want
     # sign convention: slice-A-heavy tokens positive, B-heavy negative
-    by_tok = dict((t, s) for t, _, _, s in got)
+    by_tok = dict((t, int(s)) for t, _, _, s in got)
     assert by_tok["alpha"] > 0 and by_tok["gamma"] < 0
 
 

@@ -40,12 +40,15 @@ def test_decode_order_and_double_escapes(spark) -> None:
             # double-escaped decodes exactly one level
             (1, "<body>&amp;lt;x&amp;gt; &amp;amp;</body>"),
             (2, "<body>a&nbsp;&nbsp;b</body>"),
+            # numeric quote form decodes like &quot;
+            (3, "<body>say &#34;hi&#34;</body>"),
         ],
     )
     assert got[0][2] == "<div>"
     assert got[1][2] == "&lt;x&gt; &amp;"
     # decoded nbsp runs collapse like any whitespace
     assert got[2][2] == "a b"
+    assert got[3][2] == 'say "hi"'
 
 
 def test_head_content_is_metadata_not_text(spark) -> None:
