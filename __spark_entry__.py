@@ -4198,6 +4198,35 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "graph_reciprocity",
+    # Same synthetic edges, same reversed-pair semi-join replay, same
+    # exact integer permille and farm thresholds.
+    _edge_ctes(211)
+    + """,
+e AS (SELECT DISTINCT src, dst FROM edges),
+rec AS (SELECT e.src, e.dst FROM e
+        SEMI JOIN e r ON r.src = e.dst AND r.dst = e.src),
+outd AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS out_deg
+         FROM e GROUP BY src),
+nrec AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+         FROM rec GROUP BY src)
+SELECT o.host, o.out_deg,
+       CAST(coalesce(n.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+       coalesce(n.n_reciprocal, 0) * 1000 // o.out_deg AS recip_permille,
+       coalesce(n.n_reciprocal, 0) * 1000 >= o.out_deg * 800
+         AND o.out_deg >= 4 AS is_farm_suspect
+FROM outd o LEFT JOIN nrec n USING (host)""",
+)
+def reciprocity_q(spark, sf_dir):
+    """Link reciprocity / link-farm suspicion (operators/graph.py
+    reciprocity_score): per-host reciprocated-out-edge counts via one
+    reversed-pair semi-join, exact integer permille, and the
+    >= 800-permille + out_deg >= 4 farm-suspect verdict."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.reciprocity_score(GR.synth_host_edges(docs, n_hosts=211))
+
+
+@_q(
     "graph_degree_dist",
     # Same synthetic edges, same exact integer log2 bucket via
     # length(bin(d)) - 1, same union of out/in histograms.

@@ -116,6 +116,7 @@ HEADLINE_QUERIES = [
     "warc_revisit_records",
     "corpus_vocab_growth",
     "graph_degree_dist",
+    "graph_reciprocity",
 ]
 
 

@@ -344,3 +344,45 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
         )
 
     return hist("src", "out").unionByName(hist("dst", "in"))
+
+
+def reciprocity_score(edges: DataFrame) -> DataFrame:
+    """Per-host link-reciprocity — the classic nepotistic-linking spam
+    signal (link farms exchange links, so a farm member's out-edges are
+    overwhelmingly reciprocated; editorial links mostly are not —
+    Fetterly/Gyongyi-era web-spam heuristics). Feeds the same verdict
+    surface as crawl_trap_report: a cheap structural prior on which
+    hosts to distrust before any content is fetched.
+
+    Output per host with out-degree > 0: out_deg, n_reciprocal (out-
+    edges whose reverse edge exists), recip_permille (exact integer
+    permille, the repo-wide threshold discipline), is_farm_suspect at
+    >= 800 permille with out_deg >= 4 (both bars exact-integer).
+
+    Plan: distinct edges self-join on the REVERSED pair — one hash
+    shuffle keyed by the 16-byte (src, dst) pair, left-semi so matched
+    edges never widen — then a per-src partial-agg count. No windows,
+    no skew beyond the graph's own out-degree distribution (bounded by
+    per-host politeness at crawl time).
+    """
+    e = edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nrec = recip.groupBy("src").agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    j = outd.join(nrec, "src", "left").select(
+        F.col("src").alias("host"),
+        "out_deg",
+        F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+    )
+    permille = F.expr("n_reciprocal * 1000 DIV out_deg")
+    return j.select(
+        "host",
+        "out_deg",
+        "n_reciprocal",
+        permille.alias("recip_permille"),
+        (
+            (F.col("n_reciprocal") * 1000 >= F.col("out_deg") * 800)
+            & (F.col("out_deg") >= 4)
+        ).alias("is_farm_suspect"),
+    )

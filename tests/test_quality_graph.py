@@ -378,3 +378,42 @@ def test_degree_distribution_plan_stays_jvm(spark) -> None:
     )
     assert "EvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_reciprocity_counts_and_verdict(spark) -> None:
+    from don_crawler_spark.operators.graph import reciprocity_score
+
+    # host 1: 4 out-edges, all reciprocated -> farm suspect
+    # host 2: 2 out (1 reciprocated: 2->1) -> 500 permille, too few edges
+    # host 7: 1 out, none reciprocated -> 0
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5),
+         (2, 1), (3, 1), (4, 1), (5, 1),
+         (2, 6), (7, 1)],
+        "src long, dst long",
+    )
+    got = {
+        r["host"]: (
+            r["out_deg"], r["n_reciprocal"], r["recip_permille"],
+            r["is_farm_suspect"],
+        )
+        for r in reciprocity_score(edges).collect()
+    }
+    assert got[1] == (4, 4, 1000, True)
+    assert got[2] == (2, 1, 500, False)
+    assert got[5] == (1, 1, 1000, False)  # high ratio but out_deg < 4
+    assert got[7] == (1, 0, 0, False)
+
+
+def test_reciprocity_duplicate_edges_count_once(spark) -> None:
+    from don_crawler_spark.operators.graph import reciprocity_score
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {
+        r["host"]: (r["out_deg"], r["n_reciprocal"])
+        for r in reciprocity_score(edges).collect()
+    }
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 1)
