@@ -4198,6 +4198,59 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "http_cache_policy",
+    # Closed-form oracle: the ttl/policy verdict each doc_id % 6 header
+    # class MUST produce under RFC 9111 precedence, stated from the
+    # class arithmetic — never by re-parsing the headers.
+    """SELECT doc_id,
+  CASE doc_id % 6 WHEN 1 THEN TRUE ELSE FALSE END AS no_store,
+  CASE doc_id % 6 WHEN 0 THEN CAST(3600 + doc_id AS BIGINT)
+       WHEN 1 THEN CAST(999 AS BIGINT)
+       WHEN 4 THEN CAST(0 AS BIGINT) END AS max_age,
+  CASE doc_id % 6
+    WHEN 0 THEN CAST(3600 + doc_id AS BIGINT)
+    WHEN 1 THEN CAST(0 AS BIGINT)
+    WHEN 2 THEN CAST(3600 AS BIGINT)
+    WHEN 3 THEN CAST(8640 AS BIGINT)
+    WHEN 4 THEN CAST(0 AS BIGINT)
+    END AS ttl_seconds,
+  CASE doc_id % 6
+    WHEN 0 THEN 'max_age' WHEN 1 THEN 'no_store' WHEN 2 THEN 'expires'
+    WHEN 3 THEN 'heuristic' WHEN 4 THEN 'max_age'
+    ELSE 'unknown' END AS cache_policy
+FROM documents""",
+)
+def cache_policy_q(spark, sf_dir):
+    """RFC 9111 cache policy (functions/http.py cache_policy): served
+    freshness extracted from Cache-Control / Expires / Date /
+    Last-Modified with the spec's precedence ladder. Six header
+    classes: max-age (value varies per doc), no-store (with a decoy
+    max-age it must outrank), Expires-Date arithmetic, the
+    Last-Modified/10 heuristic, max-age=0 private, and header-free
+    unknown. Map-side only."""
+    from don_crawler_spark.functions.http import cache_policy
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 6
+    cc = (
+        F.when(
+            m == 0,
+            F.concat(F.lit("public, max-age="), (F.col("doc_id") + 3600)),
+        )
+        .when(m == 1, F.lit("no-store, max-age=999"))
+        .when(m == 4, F.lit('private, max-age="0"'))
+    )
+    expires = F.when(m == 2, F.lit("Thu, 01 Jan 2026 01:00:00 GMT"))
+    date = F.when(
+        m.isin(2, 3), F.lit("Thu, 01 Jan 2026 00:00:00 GMT")
+    )
+    lastmod = F.when(m == 3, F.lit("Wed, 31 Dec 2025 00:00:00 GMT"))
+    return docs.select(
+        "doc_id", *cache_policy(cc, expires, date, lastmod)
+    )
+
+
+@_q(
     "graph_reciprocity",
     # Same synthetic edges, same reversed-pair semi-join replay, same
     # exact integer permille and farm thresholds.

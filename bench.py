@@ -117,6 +117,7 @@ HEADLINE_QUERIES = [
     "corpus_vocab_growth",
     "graph_degree_dist",
     "graph_reciprocity",
+    "http_cache_policy",
 ]
 
 

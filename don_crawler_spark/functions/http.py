@@ -190,3 +190,78 @@ def soft404_flags(status_code: Column, body: Column) -> list[Column]:
         .otherwise("ok")
         .alias("rot_class"),
     ]
+
+
+# RFC 9111 heuristic freshness fraction (1/10 of age since
+# Last-Modified) and the 1-year ttl ceiling.
+HEURISTIC_DIV = 10
+TTL_CEILING = 31_536_000
+# day-of-week tokens are format-only in Spark 3+ parsers, so the
+# "Sun, " prefix is split off before parsing the IMF-fixdate rest
+_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def cache_policy(
+    cache_control: Column,
+    expires: Column,
+    date: Column,
+    last_modified: Column,
+) -> list[Column]:
+    """RFC 9111 cache/freshness policy from response headers — what a
+    recrawl scheduler reads before inventing its own revisit interval
+    (a served max-age is the origin TELLING the crawler when content
+    goes stale; crawl_revisit_priority's estimator is the fallback for
+    servers that say nothing).
+
+    Precedence (RFC 9111 §4.2): no-store / no-cache force ttl 0 >
+    ``max-age=N`` > ``Expires - Date`` (clamped at 0 when already
+    expired) > the §4.2.2 heuristic (age since Last-Modified over 10)
+    > unknown (every header absent or unparseable — null ttl,
+    degrade-don't-drop). ttl capped at one year. HTTP-dates parse with
+    try_to_timestamp (a malformed date falls through to the next rung,
+    never aborts the scan).
+
+    Columns: ``no_store`` (bool), ``max_age`` (the raw directive,
+    null if absent), ``ttl_seconds``, ``cache_policy`` (no_store |
+    max_age | expires | heuristic | unknown). Exact integer seconds
+    arithmetic; pure codegen, map-side only.
+    """
+    cc = F.coalesce(cache_control, F.lit(""))
+    no_store = cc.rlike(r"(?i)(^|[,\s])no-(store|cache)($|[,\s=])")
+    max_age = F.regexp_extract(
+        cc, r"""(?i)(?:^|[,\s])max-age\s*=\s*"?(\d+)""", 1
+    ).try_cast("long")
+    ts = lambda c: F.unix_timestamp(
+        F.try_to_timestamp(
+            F.substring_index(c, ", ", -1), F.lit(_HTTP_DATE_FMT)
+        )
+    )
+    exp_ttl = ts(expires) - ts(date)
+    heur_ttl = (ts(date) - ts(last_modified)) / F.lit(HEURISTIC_DIV)
+    ttl = (
+        F.when(no_store, F.lit(0).cast("long"))
+        .when(max_age.isNotNull(), max_age)
+        .when(exp_ttl.isNotNull(), F.greatest(exp_ttl, F.lit(0)))
+        .when(
+            heur_ttl.isNotNull(),
+            F.greatest(heur_ttl.cast("long"), F.lit(0)),
+        )
+    )
+    policy = (
+        F.when(no_store, "no_store")
+        .when(max_age.isNotNull(), "max_age")
+        .when(exp_ttl.isNotNull(), "expires")
+        .when(heur_ttl.isNotNull(), "heuristic")
+        .otherwise("unknown")
+    )
+    return [
+        no_store.alias("no_store"),
+        max_age.alias("max_age"),
+        # Spark's least() SKIPS nulls (least(null, cap) == cap — the
+        # recrawl clamp trap), so the unknown-policy null must be
+        # pinned before the ceiling is applied
+        F.when(ttl.isNotNull(), F.least(ttl, F.lit(TTL_CEILING)))
+        .cast("long")
+        .alias("ttl_seconds"),
+        policy.alias("cache_policy"),
+    ]

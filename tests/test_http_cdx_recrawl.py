@@ -442,3 +442,63 @@ def test_snapshot_diff_text_never_crosses_exchange(spark) -> None:
     # fingerprints are computed map-side; no exchange row carries text
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in frag.split("\n")[0]
+
+
+def test_cache_policy_precedence_and_edges(spark) -> None:
+    from don_crawler_spark.functions.http import cache_policy
+
+    rows = [
+        # no-store wins over a present max-age for ttl; directive kept
+        (0, "max-age=600, no-store", None, None, None),
+        (1, "public, max-age=120", None, None, None),
+        # expired page: Expires before Date clamps to 0, never negative
+        (2, None, "Thu, 01 Jan 2026 00:00:00 GMT",
+         "Thu, 01 Jan 2026 02:00:00 GMT", None),
+        # heuristic: 100 days since Last-Modified -> 10 days ttl
+        (3, None, None, "Sat, 11 Apr 2026 00:00:00 GMT",
+         "Thu, 01 Jan 2026 00:00:00 GMT"),
+        # malformed Expires degrades past the rung, not an abort
+        (4, None, "not a date", "Thu, 01 Jan 2026 00:00:00 GMT", None),
+        # ttl ceiling: a 10-year max-age caps at one year
+        (5, "max-age=315360000", None, None, None),
+        (6, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, cc string, exp string, date string, lm string"
+    )
+    got = {
+        r["id"]: (r["no_store"], r["max_age"], r["ttl_seconds"],
+                  r["cache_policy"])
+        for r in df.select(
+            "id",
+            *cache_policy(
+                F.col("cc"), F.col("exp"), F.col("date"), F.col("lm")
+            ),
+        ).collect()
+    }
+    assert got[0] == (True, 600, 0, "no_store")
+    assert got[1] == (False, 120, 120, "max_age")
+    assert got[2] == (False, None, 0, "expires")
+    assert got[3] == (False, None, 864000, "heuristic")
+    assert got[4] == (False, None, None, "unknown")
+    assert got[5] == (False, 315360000, 31536000, "max_age")
+    assert got[6] == (False, None, None, "unknown")
+
+
+def test_cache_policy_plan_is_map_side(spark) -> None:
+    from don_crawler_spark.functions.http import cache_policy
+    from don_crawler_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    plan = (
+        docs.select(
+            "doc_id",
+            *cache_policy(F.col("text"), F.col("text"), F.col("text"),
+                          F.col("text")),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
