@@ -4198,6 +4198,73 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "feed_parse",
+    # Closed-form oracle: the exact item rows each feed class must
+    # yield (CDATA stripped, entities decoded, channel-level <link>
+    # never an item), stated from the class arithmetic.
+    """WITH f AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         'https://host' || doc_id % 25 || '.example/feed/' || doc_id AS feed_url
+  FROM documents)
+SELECT feed_url, 'rss' AS kind,
+       'https://host' || doc_id % 25 || '.example/item/' || doc_id
+         || '/1?a=1&b=2' AS item_url,
+       'First & Best' AS title
+FROM f WHERE m = 0
+UNION ALL
+SELECT feed_url, 'rss',
+       'https://host' || doc_id % 25 || '.example/item/' || doc_id || '/2',
+       'T2'
+FROM f WHERE m = 0
+UNION ALL
+SELECT feed_url, 'atom',
+       'https://host' || doc_id % 25 || '.example/atom/' || doc_id, 'AT'
+FROM f WHERE m = 1""",
+)
+def feed_parse_q(spark, sf_dir):
+    """RSS/Atom feed parsing (sources/sitemaps.py parse_feeds): item
+    URL + title extraction with CDATA stripping and entity decoding.
+    Three feed classes: a two-item RSS feed (CDATA + entity-bearing
+    URL on item 1, the channel-level <link> that must NOT become an
+    item), a one-entry Atom feed (href attribute form), and a non-feed
+    body contributing zero rows. Map-side explode only."""
+    from don_crawler_spark.sources.sitemaps import parse_feeds
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    host = F.concat(F.lit("https://host"), F.col("doc_id") % 25, F.lit(".example"))
+    feed_url = F.concat(host, F.lit("/feed/"), F.col("doc_id"))
+    rss = F.concat(
+        F.lit("<rss><channel><title>chan</title><link>https://chan.example</link>"
+              "<item><title><![CDATA[ First &amp; Best ]]></title><link> "),
+        host,
+        F.lit("/item/"),
+        F.col("doc_id"),
+        F.lit("/1?a=1&amp;b=2 </link></item><item><title>T2</title><link>"),
+        host,
+        F.lit("/item/"),
+        F.col("doc_id"),
+        F.lit("/2</link></item></channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>af</title>'
+              '<entry><title>AT</title><link rel="alternate" href="'),
+        host,
+        F.lit("/atom/"),
+        F.col("doc_id"),
+        F.lit('"/></entry></feed>'),
+    )
+    feeds = docs.select(
+        feed_url.alias("feed_url"),
+        F.when(m == 0, rss)
+        .when(m == 1, atom)
+        .otherwise(F.lit("<html><body>not a feed</body></html>"))
+        .alias("xml"),
+    )
+    return parse_feeds(feeds)
+
+
+@_q(
     "http_cache_policy",
     # Closed-form oracle: the ttl/policy verdict each doc_id % 6 header
     # class MUST produce under RFC 9111 precedence, stated from the

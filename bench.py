@@ -118,6 +118,7 @@ HEADLINE_QUERIES = [
     "graph_degree_dist",
     "graph_reciprocity",
     "http_cache_policy",
+    "feed_parse",
 ]
 
 

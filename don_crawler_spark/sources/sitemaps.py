@@ -97,3 +97,57 @@ def sitemap_urls_from_robots(
     return lines.filter((field == "sitemap") & (value != "")).select(
         "host", value.alias("sitemap_url")
     )
+
+
+# RSS 2.0 items carry the URL as <link>text</link>; Atom entries as
+# <link href="..."/>. Titles may be CDATA-wrapped in both.
+_RSS_LINK = r"<link>\s*(.*?)\s*</link>"
+_ATOM_LINK = r"""<link[^>]*href\s*=\s*["']([^"']*)"""
+_ITEM_TITLE = r"<title>\s*(.*?)\s*</title>"
+
+
+def parse_feeds(feeds: DataFrame, xml: str = "xml") -> DataFrame:
+    """RSS 2.0 / Atom feed parsing — the third discovery channel after
+    links and sitemaps (news/blog hosts advertise fresh URLs in feeds
+    long before sitemaps regenerate; news-crawl tiers poll feeds on the
+    revisit schedule, exactly what crawl_revisit_priority emits for
+    high-change-rate hosts).
+
+    Input: one row per fetched feed with ``feed_url`` and the raw xml
+    body. Output: one row per item/entry — (feed_url, kind rss|atom,
+    item_url, title) — with CDATA stripping and XML entity unescaping
+    (&amp; last) shared with the sitemap parser. Items without a
+    parseable link are dropped; a feed that is neither RSS nor Atom
+    contributes zero rows (degrade-don't-drop at the feed level is the
+    caller's join).
+
+    Relational like parse_sitemaps: split the body on the fixed
+    ``<item>`` / ``<entry`` element openers (the channel prologue is
+    slice 0, never an item), one regexp per field within each slice —
+    map-side explode only, zero exchanges, no XML library.
+    """
+    x = F.col(xml)
+    is_rss = x.contains("<rss") | x.contains("<channel>")
+    is_atom = x.contains("<feed")
+
+    def items(src: DataFrame, marker: str, kind: str, link_re: str) -> DataFrame:
+        part = F.posexplode(F.split(x, marker))
+        sliced = src.select(
+            "feed_url", part.alias("pos", "chunk")
+        ).filter(F.col("pos") > 0)
+        url = _xml_unescape(
+            _strip_cdata(F.regexp_extract("chunk", link_re, 1))
+        )
+        title = _xml_unescape(
+            _strip_cdata(F.regexp_extract("chunk", _ITEM_TITLE, 1))
+        )
+        return sliced.select(
+            "feed_url",
+            F.lit(kind).alias("kind"),
+            url.alias("item_url"),
+            F.nullif(title, F.lit("")).alias("title"),
+        ).filter(F.col("item_url") != "")
+
+    return items(feeds.filter(is_rss), "<item>", "rss", _RSS_LINK).unionByName(
+        items(feeds.filter(is_atom & ~is_rss), "<entry", "atom", _ATOM_LINK)
+    )

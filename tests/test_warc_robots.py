@@ -558,3 +558,45 @@ def test_revisit_records_plan_no_window_no_text_shuffle(spark) -> None:
     assert "EvalPython" not in plan
     for frag in plan.split("Exchange hashpartitioning")[1:]:
         assert "text#" not in frag.split("\n")[0]
+
+
+def test_feed_parse_shapes(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import parse_feeds
+
+    rss = (
+        "<rss><channel><title>c</title><link>https://c.example</link>"
+        "<item><title><![CDATA[Hello &amp; co]]></title>"
+        "<link>https://a.example/p?x=1&amp;y=2</link></item>"
+        "<item><link>https://a.example/q</link></item>"  # titleless item
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed><entry><title>E1</title>"
+        "<link rel='alternate' href='https://b.example/e1'/></entry>"
+        "<entry><title>no link here</title></entry>"  # dropped
+        "</feed>"
+    )
+    feeds = spark.createDataFrame(
+        [("f1", rss), ("f2", atom), ("f3", "<html>nope</html>")],
+        "feed_url string, xml string",
+    )
+    got = sorted(
+        (r["feed_url"], r["kind"], r["item_url"], r["title"])
+        for r in parse_feeds(feeds).collect()
+    )
+    assert got == [
+        ("f1", "rss", "https://a.example/p?x=1&y=2", "Hello & co"),
+        ("f1", "rss", "https://a.example/q", None),
+        ("f2", "atom", "https://b.example/e1", "E1"),
+    ]
+
+
+def test_feed_parse_plan_is_map_side(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import parse_feeds
+    from don_crawler_spark.sources.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents", respread=False)
+    feeds = docs.selectExpr("CAST(doc_id AS STRING) AS feed_url", "text AS xml")
+    plan = parse_feeds(feeds)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
