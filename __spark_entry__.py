@@ -4198,6 +4198,72 @@ def graph_components_q(spark, sf_dir):
 
 
 @_q(
+    "url_template_mining",
+    # Mirror oracle: same synthesized URLs, same hex-before-digits
+    # generalization regexes (Java/RE2-identical), same top-k window.
+    """WITH u AS (
+  SELECT 'https://host' || doc_id % 25 || '.example' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/post/' || doc_id
+           WHEN 1 THEN '/session/' || md5(CAST(doc_id AS VARCHAR))
+           WHEN 2 THEN '/y/' || 2020 + doc_id % 4 || '/m/' || doc_id % 12
+           ELSE '/about' END AS url
+  FROM documents),
+t AS (SELECT lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1))
+         AS host,
+       regexp_replace(regexp_replace(
+         coalesce(nullif(regexp_extract(url,
+           '^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1), ''), '/'),
+         '(?i)[0-9a-f]{16,}', '{h}', 'g'), '[0-9]+', '{n}', 'g')
+         AS template
+      FROM u),
+c AS (SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls
+      FROM t GROUP BY host, template),
+r AS (SELECT *, CAST(row_number() OVER (
+        PARTITION BY host ORDER BY n_urls DESC, template) AS INT) AS rank
+      FROM c)
+SELECT host, rank, template, n_urls FROM r WHERE rank <= 3""",
+)
+def url_templates_q(spark, sf_dir):
+    """URL template mining (operators/traps.py url_templates): per-host
+    top-3 generalized path templates — digit runs to {n}, 16+-hex
+    session ids to {h} (hex first). Four URL classes per host: numeric
+    post ids, md5 session paths, calendar paths, a static page. One
+    (host, template) partial-agg shuffle + a bounded per-host top-k
+    window."""
+    from don_crawler_spark.operators.traps import url_templates
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    path = (
+        F.when(m == 0, F.concat(F.lit("/post/"), F.col("doc_id")))
+        .when(
+            m == 1,
+            F.concat(F.lit("/session/"), F.md5(F.col("doc_id").cast("string"))),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("/y/"),
+                F.col("doc_id") % 4 + 2020,
+                F.lit("/m/"),
+                F.col("doc_id") % 12,
+            ),
+        )
+        .otherwise(F.lit("/about"))
+    )
+    urls = docs.select(
+        F.concat(
+            F.lit("https://host"),
+            F.col("doc_id") % 25,
+            F.lit(".example"),
+            path,
+        ).alias("url")
+    )
+    return url_templates(urls)
+
+
+@_q(
     "feed_parse",
     # Closed-form oracle: the exact item rows each feed class must
     # yield (CDATA stripped, entities decoded, channel-level <link>

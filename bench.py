@@ -119,6 +119,7 @@ HEADLINE_QUERIES = [
     "graph_reciprocity",
     "http_cache_policy",
     "feed_parse",
+    "url_template_mining",
 ]
 
 

@@ -161,3 +161,56 @@ def host_trap_report(
         expl.alias("param_explosion"),
         (path_loop | deep | cal | expl).alias("trapped"),
     )
+
+
+TEMPLATE_TOPK = 3
+
+
+def url_templates(
+    pages: DataFrame, url: str = "url", k: int = TEMPLATE_TOPK
+) -> DataFrame:
+    """Per-host top-k URL path TEMPLATES — the generalization step that
+    turns raw frontier URLs into crawl policy: long hex runs (session
+    ids, cache busters) become ``{h}``, digit runs (post ids, dates)
+    become ``{n}``. A host whose top template covers most of its URLs
+    is structured (one crawl rule handles it); a host with no dominant
+    template after generalization is the residual trap signal
+    host_trap_report thresholds on.
+
+    Hex generalizes BEFORE digits (hex runs contain digits); 16+ hex
+    chars is the session-id shape, short hex stays literal. Both
+    regexes are Java/RE2-identical so the DuckDB oracle replays the
+    generalization byte-for-byte.
+
+    Plan: map-side generalization, ONE (host, template) partial-agg
+    shuffle (heavy-hitter templates collapse before traveling — the
+    traps module's rule), then a per-host top-k window whose partition
+    is the number of DISTINCT templates per host — bounded precisely
+    BECAUSE generalization collapsed the exploding dimension (the
+    anchor_text_topk argument). Ties (count DESC, template ASC).
+    """
+    from pyspark.sql import Window
+
+    tpl = F.regexp_replace(
+        F.regexp_replace(_path_col(F.col(url)), "(?i)[0-9a-f]{16,}", "{h}"),
+        "[0-9]+",
+        "{n}",
+    )
+    per = (
+        pages.select(
+            F.lower(
+                F.regexp_extract(F.col(url), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+            ).alias("host"),
+            tpl.alias("template"),
+        )
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).alias("n_urls"))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_urls").desc(), F.col("template")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("host", "rank", "template", "n_urls")
+    )

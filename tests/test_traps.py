@@ -95,3 +95,37 @@ def test_trap_plan_shape(spark) -> None:
     assert "path_fp" in rep_plan.split("Exchange")[2].split("\n")[0]
     below = rep_plan.split("Exchange")[-1]
     assert "HashAggregate" in below and "partial" in below
+
+
+def test_url_templates_generalization_and_topk(spark) -> None:
+    from don_crawler_spark.operators.traps import url_templates
+
+    urls = [
+        "https://a.example/post/1",
+        "https://a.example/post/22",
+        "https://a.example/post/333",
+        # 32-hex session id -> {h}; short hex '/ab12' stays literal
+        "https://a.example/s/0123456789abcdef0123456789abcdef",
+        "https://a.example/ab12/x",
+        "https://a.example/about",
+        "https://b.example/",  # bare root -> '/'
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        (r["host"], r["rank"]): (r["template"], r["n_urls"])
+        for r in url_templates(df, k=2).collect()
+    }
+    assert got[("a.example", 1)] == ("/post/{n}", 3)
+    # ties at count 1 break by template string ascending ('o' < '{')
+    assert got[("a.example", 2)] == ("/about", 1)
+    assert got[("b.example", 1)] == ("/", 1)
+
+
+def test_url_templates_hex_before_digits(spark) -> None:
+    from don_crawler_spark.operators.traps import url_templates
+
+    # a 16-hex run that is ALL digits must read {h}, not {n}
+    df = spark.createDataFrame(
+        [("https://h.example/t/1234567890123456",)], "url string"
+    )
+    assert url_templates(df).collect()[0]["template"] == "/t/{h}"
