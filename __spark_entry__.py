@@ -4197,6 +4197,66 @@ def graph_components_q(spark, sf_dir):
     return GR.components(GR.synth_host_edges(docs, n_hosts=1024))
 
 
+def _ppr_oracle(n_hosts: int = 211, iters: int = 5, seed_mod: int = 8) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.pagerank_personalized
+    — teleport and dangling mass paid to the seed set only; all integer
+    floor arithmetic, bit-exact."""
+    nh, nano = n_hosts, 1_000_000_000
+    parts = [
+        _edge_ctes(nh)
+        + f""",
+degs AS (SELECT src AS host, COUNT(*) AS deg FROM edges GROUP BY src),
+nd AS (SELECT n.host, COALESCE(d.deg, 0) AS deg,
+              n.host % {seed_mod} = 0 AS is_seed
+       FROM nodes n LEFT JOIN degs d USING (host)),
+sn AS (SELECT COUNT(*) AS s FROM nd WHERE is_seed),
+it0 AS (SELECT host, deg, is_seed,
+          CAST(CASE WHEN is_seed THEN {nano} // s ELSE 0 END AS BIGINT) AS r
+        FROM nd CROSS JOIN sn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""sh{k} AS (SELECT e.dst AS host, CAST(SUM(p.r // p.deg) AS BIGINT) AS m
+        FROM edges e JOIN it{p} p ON e.src = p.host AND p.deg > 0
+        GROUP BY e.dst),
+dg{k} AS (SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS dsum
+          FROM it{p} WHERE deg = 0),
+it{k} AS (SELECT nd.host, nd.deg, nd.is_seed,
+            CAST(CASE WHEN nd.is_seed THEN {15 * nano} // (100 * s) ELSE 0 END
+                 + (85 * (COALESCE(m, 0)
+                          + CASE WHEN nd.is_seed THEN dsum // s ELSE 0 END))
+                   // 100 AS BIGINT) AS r
+          FROM nd LEFT JOIN sh{k} USING (host)
+          CROSS JOIN dg{k} CROSS JOIN sn)"""
+        )
+    parts.append(
+        f"""SELECT CAST(host AS INT) AS host, is_seed, r AS ppr_nano,
+       ROUND(r / {nano}.0, 6) AS ppr
+FROM it{iters}"""
+    )
+    head, tail = parts[0], parts[-1]
+    return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
+
+
+@_q("graph_pagerank_personalized", _ppr_oracle())
+def ppr_q(spark, sf_dir):
+    """Topic-sensitive PageRank (operators/graph.pagerank_personalized):
+    teleport restricted to the host % 8 == 0 seed set — focused-crawl /
+    TrustRank-style proximity scoring. Same integer fixed-point as
+    graph_pagerank; the oracle unrolls the seed-teleport recurrence to
+    the same BIGINT floor arithmetic."""
+    docs = load(spark, sf_dir, "documents")
+    edges = GR.synth_host_edges(docs, n_hosts=211)
+    seeds = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .filter(F.col("host") % 8 == 0)
+    )
+    return GR.pagerank_personalized(edges, seeds, iters=5)
+
+
 @_q(
     "url_template_mining",
     # Mirror oracle: same synthesized URLs, same hex-before-digits

@@ -120,6 +120,7 @@ HEADLINE_QUERIES = [
     "http_cache_policy",
     "feed_parse",
     "url_template_mining",
+    "graph_pagerank_personalized",
 ]
 
 

@@ -417,3 +417,50 @@ def test_reciprocity_duplicate_edges_count_once(spark) -> None:
     }
     assert got[1] == (1, 1)
     assert got[2] == (1, 1)
+
+
+def test_ppr_matches_from_scratch_integer_replay(spark) -> None:
+    from don_crawler_spark.operators.graph import NANO, pagerank_personalized
+
+    # 1 (seed) -> 2 -> 3 (dangling); 9 -> 10 disconnected from the seed
+    edge_list = [(1, 2), (2, 3), (9, 10)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "host long")
+    got = {
+        r["host"]: (r["is_seed"], r["ppr_nano"])
+        for r in pagerank_personalized(edges, seeds, iters=5).collect()
+    }
+    # exact integer replay of the recurrence from scratch
+    hosts = sorted({h for e in edge_list for h in e})
+    deg = {h: sum(1 for s, _ in edge_list if s == h) for h in hosts}
+    seed_set, s = {1}, 1
+    r = {h: (NANO // s if h in seed_set else 0) for h in hosts}
+    for _ in range(5):
+        agg = {h: 0 for h in hosts}
+        for src, dst in edge_list:
+            if deg[src] > 0:
+                agg[dst] += r[src] // deg[src]
+        dsum = sum(r[h] for h in hosts if deg[h] == 0)
+        r = {
+            h: (15 * NANO // (100 * s) if h in seed_set else 0)
+            + (85 * (agg[h] + (dsum // s if h in seed_set else 0))) // 100
+            for h in hosts
+        }
+    assert {h: v[1] for h, v in got.items()} == r
+    assert got[1][0] is True and all(not got[h][0] for h in (2, 3, 9, 10))
+    assert got[9][1] == 0 and got[10][1] == 0
+
+
+def test_ppr_dangling_mass_returns_to_seeds_only(spark) -> None:
+    from don_crawler_spark.operators.graph import pagerank_personalized
+
+    # seed 1 -> dangling 2; host 5 isolated-ish non-seed sink
+    edges = spark.createDataFrame([(1, 2), (3, 5)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "host long")
+    got = {
+        r["host"]: r["ppr_nano"]
+        for r in pagerank_personalized(edges, seeds, iters=3).collect()
+    }
+    # 2's (dangling) mass cycles back to the seed, not to 5
+    assert got[1] > 0 and got[2] > 0
+    assert got[5] == 0
