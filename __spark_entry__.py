@@ -4401,7 +4401,7 @@ def feed_parse_q(spark, sf_dir):
        WHEN 1 THEN CAST(999 AS BIGINT)
        WHEN 4 THEN CAST(0 AS BIGINT) END AS max_age,
   CASE doc_id % 6
-    WHEN 0 THEN CAST(3600 + doc_id AS BIGINT)
+    WHEN 0 THEN CAST(least(3600 + doc_id, 31536000) AS BIGINT)
     WHEN 1 THEN CAST(0 AS BIGINT)
     WHEN 2 THEN CAST(3600 AS BIGINT)
     WHEN 3 THEN CAST(8640 AS BIGINT)

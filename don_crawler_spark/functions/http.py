@@ -197,8 +197,11 @@ def soft404_flags(status_code: Column, body: Column) -> list[Column]:
 HEURISTIC_DIV = 10
 TTL_CEILING = 31_536_000
 # day-of-week tokens are format-only in Spark 3+ parsers, so the
-# "Sun, " prefix is split off before parsing the IMF-fixdate rest
-_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss 'GMT'"
+# "Sun, " prefix is split off before parsing; the trailing GMT is
+# rewritten to an explicit +0000 offset so the parsed INSTANT is
+# session-timezone independent (a literal 'GMT' token would read the
+# wall-clock in the session zone — wrong across DST transitions)
+_HTTP_DATE_FMT = "dd MMM yyyy HH:mm:ss xx"
 
 
 def cache_policy(
@@ -213,34 +216,47 @@ def cache_policy(
     goes stale; crawl_revisit_priority's estimator is the fallback for
     servers that say nothing).
 
-    Precedence (RFC 9111 §4.2): no-store / no-cache force ttl 0 >
-    ``max-age=N`` > ``Expires - Date`` (clamped at 0 when already
-    expired) > the §4.2.2 heuristic (age since Last-Modified over 10)
-    > unknown (every header absent or unparseable — null ttl,
-    degrade-don't-drop). ttl capped at one year. HTTP-dates parse with
+    Precedence (RFC 9111 §4.2): no-store / UNQUALIFIED no-cache force
+    ttl 0 (the qualified ``no-cache="field"`` form leaves the response
+    cacheable and does not) > ``max-age=N`` > ``Expires - Date``
+    (clamped at 0 when already expired; a present-but-unparseable
+    Expires — §5.3's "Expires: 0" — also reads as ttl 0) > the §4.2.2
+    heuristic (age since Last-Modified over 10) > unknown (every
+    header absent — null ttl, degrade-don't-drop). ttl capped at one year. HTTP-dates parse with
     try_to_timestamp (a malformed date falls through to the next rung,
     never aborts the scan).
 
     Columns: ``no_store`` (bool), ``max_age`` (the raw directive,
     null if absent), ``ttl_seconds``, ``cache_policy`` (no_store |
-    max_age | expires | heuristic | unknown). Exact integer seconds
+    no_cache | max_age | expires | heuristic | unknown). Exact integer seconds
     arithmetic; pure codegen, map-side only.
     """
     cc = F.coalesce(cache_control, F.lit(""))
-    no_store = cc.rlike(r"(?i)(^|[,\s])no-(store|cache)($|[,\s=])")
+    # no-store ONLY — the qualified form no-cache="field" restricts
+    # specific headers and leaves the response cacheable, so no-cache
+    # is detected separately and only in its UNQUALIFIED form
+    no_store = cc.rlike(r"(?i)(^|[,\s])no-store($|[,\s])")
+    no_cache = cc.rlike(r"(?i)(^|[,\s])no-cache\s*($|,)")
     max_age = F.regexp_extract(
         cc, r"""(?i)(?:^|[,\s])max-age\s*=\s*"?(\d+)""", 1
     ).try_cast("long")
     ts = lambda c: F.unix_timestamp(
         F.try_to_timestamp(
-            F.substring_index(c, ", ", -1), F.lit(_HTTP_DATE_FMT)
+            F.replace(
+                F.substring_index(c, ", ", -1), F.lit(" GMT"), F.lit(" +0000")
+            ),
+            F.lit(_HTTP_DATE_FMT),
         )
     )
+    # RFC 9111 §5.3: a PRESENT but unparseable Expires (the ubiquitous
+    # "Expires: 0") means already-expired — ttl 0, not a fall-through
+    exp_invalid = expires.isNotNull() & ts(expires).isNull()
     exp_ttl = ts(expires) - ts(date)
     heur_ttl = (ts(date) - ts(last_modified)) / F.lit(HEURISTIC_DIV)
     ttl = (
-        F.when(no_store, F.lit(0).cast("long"))
+        F.when(no_store | no_cache, F.lit(0).cast("long"))
         .when(max_age.isNotNull(), max_age)
+        .when(exp_invalid, F.lit(0).cast("long"))
         .when(exp_ttl.isNotNull(), F.greatest(exp_ttl, F.lit(0)))
         .when(
             heur_ttl.isNotNull(),
@@ -249,8 +265,9 @@ def cache_policy(
     )
     policy = (
         F.when(no_store, "no_store")
+        .when(no_cache, "no_cache")
         .when(max_age.isNotNull(), "max_age")
-        .when(exp_ttl.isNotNull(), "expires")
+        .when(exp_invalid | exp_ttl.isNotNull(), "expires")
         .when(heur_ttl.isNotNull(), "heuristic")
         .otherwise("unknown")
     )

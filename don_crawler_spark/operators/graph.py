@@ -365,7 +365,14 @@ def reciprocity_score(edges: DataFrame) -> DataFrame:
     no skew beyond the graph's own out-degree distribution (bounded by
     per-host politeness at crawl time).
     """
-    e = edges.select("src", "dst").distinct()
+    # self-loops excluded: a src==dst edge is its own reverse and would
+    # read as a reciprocated link (intra-host links are near-universal
+    # on real host graphs, so unfiltered input would flag everything)
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     recip = e.join(rev, ["src", "dst"], "left_semi")
     outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
@@ -408,7 +415,12 @@ def pagerank_personalized(
     Plan shape identical to pagerank (edges hash-partitioned once by
     src and persisted; one rank shuffle per iteration; dangling sum a
     broadcast 1-row aggregate). ``seeds``: a (host) DataFrame, joined
-    broadcast onto the static node state.
+    broadcast onto the static node state — the broadcast is the reason
+    this loop is NOT merged with pagerank() despite the recurrence
+    being its seeds=all-nodes generalization: uniform pagerank must
+    not materialize/broadcast the full node set as a seed list, so the
+    two keep separate loops (and separate unrolled oracles) on
+    purpose.
     """
     spark = edges.sparkSession
     cores = spark.sparkContext.defaultParallelism
@@ -420,8 +432,7 @@ def pagerank_personalized(
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     seed_flag = seeds.select(F.col("host").alias("s_host")).distinct()
-    sn = seed_flag.agg(F.count("*").alias("s"))
-    nd = (
+    flagged = (
         nodes.join(deg, nodes["host"] == deg["src"], "left")
         .join(F.broadcast(seed_flag), nodes["host"] == F.col("s_host"), "left")
         .select(
@@ -429,14 +440,22 @@ def pagerank_personalized(
             F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
             F.col("s_host").isNotNull().alias("is_seed"),
         )
-        .crossJoin(F.broadcast(sn))
     )
+    # |S| counts seeds PRESENT IN THE GRAPH (seeds ∩ nodes) — a
+    # whitelisted host that is not in the edge set yet must not dilute
+    # the teleport mass (and the oracle counts the same set). s = 0
+    # (no seed reachable at all) degrades to all-zero ranks via the
+    # guarded CASE, never a division by zero.
+    sn = flagged.filter("is_seed").agg(F.count("*").alias("s"))
+    nd = flagged.crossJoin(F.broadcast(sn))
     ranks = nd.select(
         "host",
         "deg",
         "is_seed",
         "s",
-        F.expr(f"CASE WHEN is_seed THEN {NANO} DIV s ELSE 0 END").alias("r"),
+        F.expr(
+            f"CASE WHEN is_seed AND s > 0 THEN {NANO} DIV s ELSE 0 END"
+        ).alias("r"),
     )
     for _ in range(iters):
         shares = (
@@ -458,9 +477,11 @@ def pagerank_personalized(
                 "is_seed",
                 "s",
                 F.expr(
-                    f"CASE WHEN is_seed THEN {15 * NANO}L DIV (100 * s) ELSE 0 END"
+                    f"CASE WHEN is_seed AND s > 0"
+                    f" THEN {15 * NANO}L DIV (100 * s) ELSE 0 END"
                     " + (85 * (coalesce(m, 0)"
-                    "          + CASE WHEN is_seed THEN dsum DIV s ELSE 0 END))"
+                    "          + CASE WHEN is_seed AND s > 0"
+                    "            THEN dsum DIV s ELSE 0 END))"
                     " DIV 100"
                 ).alias("r"),
             )

@@ -198,8 +198,10 @@ def url_templates(
     )
     per = (
         pages.select(
+            # SAME host regex as url_trap_signals (port stripped), so
+            # the two trap surfaces join on identical host keys
             F.lower(
-                F.regexp_extract(F.col(url), r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+                F.regexp_extract(F.col(url), r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
             ).alias("host"),
             tpl.alias("template"),
         )

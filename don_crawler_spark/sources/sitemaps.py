@@ -100,9 +100,18 @@ def sitemap_urls_from_robots(
 
 
 # RSS 2.0 items carry the URL as <link>text</link>; Atom entries as
-# <link href="..."/>. Titles may be CDATA-wrapped in both.
+# <link href="..."/>. Real Atom entries list rel="self"/"replies"
+# links BEFORE the article link, so rel="alternate" (either attribute
+# order) is preferred and the bare first-href is only the fallback.
+# Titles may be CDATA-wrapped in both.
 _RSS_LINK = r"<link>\s*(.*?)\s*</link>"
 _ATOM_LINK = r"""<link[^>]*href\s*=\s*["']([^"']*)"""
+_ATOM_ALT_RH = (
+    r"""<link[^>]*rel\s*=\s*["']alternate["'][^>]*href\s*=\s*["']([^"']*)"""
+)
+_ATOM_ALT_HR = (
+    r"""<link[^>]*href\s*=\s*["']([^"']*)["'][^>]*rel\s*=\s*["']alternate["']"""
+)
 _ITEM_TITLE = r"<title>\s*(.*?)\s*</title>"
 
 
@@ -135,9 +144,14 @@ def parse_feeds(feeds: DataFrame, xml: str = "xml") -> DataFrame:
         sliced = src.select(
             "feed_url", part.alias("pos", "chunk")
         ).filter(F.col("pos") > 0)
-        url = _xml_unescape(
-            _strip_cdata(F.regexp_extract("chunk", link_re, 1))
-        )
+        raw = F.regexp_extract("chunk", link_re, 1)
+        if kind == "atom":
+            raw = F.coalesce(
+                F.nullif(F.regexp_extract("chunk", _ATOM_ALT_RH, 1), F.lit("")),
+                F.nullif(F.regexp_extract("chunk", _ATOM_ALT_HR, 1), F.lit("")),
+                raw,
+            )
+        url = _xml_unescape(_strip_cdata(raw))
         title = _xml_unescape(
             _strip_cdata(F.regexp_extract("chunk", _ITEM_TITLE, 1))
         )

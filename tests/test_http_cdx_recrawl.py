@@ -457,8 +457,10 @@ def test_cache_policy_precedence_and_edges(spark) -> None:
         # heuristic: 100 days since Last-Modified -> 10 days ttl
         (3, None, None, "Sat, 11 Apr 2026 00:00:00 GMT",
          "Thu, 01 Jan 2026 00:00:00 GMT"),
-        # malformed Expires degrades past the rung, not an abort
-        (4, None, "not a date", "Thu, 01 Jan 2026 00:00:00 GMT", None),
+        # present-but-unparseable Expires ("Expires: 0") = already
+        # expired per RFC 9111 s5.3: ttl 0, never a fall-through
+        (4, None, "0", "Thu, 01 Jan 2026 00:00:00 GMT",
+         "Mon, 01 Dec 2025 00:00:00 GMT"),
         # ttl ceiling: a 10-year max-age caps at one year
         (5, "max-age=315360000", None, None, None),
         (6, None, None, None, None),
@@ -480,9 +482,30 @@ def test_cache_policy_precedence_and_edges(spark) -> None:
     assert got[1] == (False, 120, 120, "max_age")
     assert got[2] == (False, None, 0, "expires")
     assert got[3] == (False, None, 864000, "heuristic")
-    assert got[4] == (False, None, None, "unknown")
+    assert got[4] == (False, None, 0, "expires")
     assert got[5] == (False, 315360000, 31536000, "max_age")
     assert got[6] == (False, None, None, "unknown")
+
+
+def test_cache_policy_no_cache_forms(spark) -> None:
+    from don_crawler_spark.functions.http import cache_policy
+
+    rows = [
+        # unqualified no-cache forces ttl 0 (distinct from no_store)
+        (0, "no-cache, max-age=300"),
+        # QUALIFIED no-cache="field" leaves the response cacheable
+        (1, 'no-cache="Set-Cookie", max-age=3600'),
+    ]
+    df = spark.createDataFrame(rows, "id int, cc string")
+    got = {
+        r["id"]: (r["no_store"], r["ttl_seconds"], r["cache_policy"])
+        for r in df.select(
+            "id",
+            *cache_policy(F.col("cc"), F.lit(None), F.lit(None), F.lit(None)),
+        ).collect()
+    }
+    assert got[0] == (False, 0, "no_cache")
+    assert got[1] == (False, 3600, "max_age")
 
 
 def test_cache_policy_plan_is_map_side(spark) -> None:

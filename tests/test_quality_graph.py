@@ -464,3 +464,38 @@ def test_ppr_dangling_mass_returns_to_seeds_only(spark) -> None:
     # 2's (dangling) mass cycles back to the seed, not to 5
     assert got[1] > 0 and got[2] > 0
     assert got[5] == 0
+
+
+def test_ppr_out_of_graph_seeds_do_not_dilute(spark) -> None:
+    from don_crawler_spark.operators.graph import pagerank_personalized
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    in_graph = spark.createDataFrame([(1,)], "host long")
+    with_ghost = spark.createDataFrame([(1,), (42,)], "host long")
+    a = {r["host"]: r["ppr_nano"]
+         for r in pagerank_personalized(edges, in_graph, iters=3).collect()}
+    b = {r["host"]: r["ppr_nano"]
+         for r in pagerank_personalized(edges, with_ghost, iters=3).collect()}
+    # the absent seed 42 contributes nothing and dilutes nothing
+    assert a == b
+    # no seeds in the graph at all: all ranks 0, no division error
+    none = spark.createDataFrame([(42,)], "host long")
+    assert all(
+        r["ppr_nano"] == 0
+        for r in pagerank_personalized(edges, none, iters=2).collect()
+    )
+
+
+def test_reciprocity_ignores_self_loops(spark) -> None:
+    from don_crawler_spark.operators.graph import reciprocity_score
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], "src long, dst long"
+    )
+    got = {
+        r["host"]: (r["out_deg"], r["n_reciprocal"])
+        for r in reciprocity_score(edges).collect()
+    }
+    # the self-loop is neither an out-edge nor its own reciprocation
+    assert got[1] == (1, 1)
+    assert got[2] == (1, 1)

@@ -600,3 +600,21 @@ def test_feed_parse_plan_is_map_side(spark) -> None:
     plan = parse_feeds(feeds)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_feed_parse_atom_prefers_rel_alternate(spark) -> None:
+    from don_crawler_spark.sources.sitemaps import parse_feeds
+
+    atom = (
+        "<feed><entry><title>Post</title>"
+        "<link rel='replies' href='https://b.example/p1/comments'/>"
+        "<link rel='self' href='https://api.b.example/feeds/1'/>"
+        "<link href='https://b.example/p1' rel='alternate'/>"
+        "</entry></feed>"
+    )
+    got = parse_feeds(
+        spark.createDataFrame([("f", atom)], "feed_url string, xml string")
+    ).collect()
+    assert [(r["item_url"], r["title"]) for r in got] == [
+        ("https://b.example/p1", "Post")
+    ]
