@@ -16,7 +16,15 @@ text; here the *decision* itself is surfaced as a first-class column):
 3. **In-page prescan** — ``<meta charset=...>`` within the first
    ``prescan`` (default 1024) characters, mirroring the spec's
    1024-byte prescan window; a declaration *after* the window is
-   deliberately ignored.
+   deliberately ignored. Two documented approximations vs WHATWG
+   (ADVICE r4): the window is counted in decoded *characters*, not
+   raw bytes (the engine operates on already-decoded text columns;
+   for the ASCII-dominated ``<head>`` prefix the two coincide), and
+   comment handling is regex-based — closed ``<!-- -->`` blocks
+   inside the window are stripped before the meta scan (the spec's
+   prescan skips comment constructs, so a commented-out declaration
+   must NOT be honored), and an unclosed ``<!--`` suppresses the
+   rest of the window, like the spec's bogus-comment skip-to-end.
 4. **http-equiv prescan** — ``<meta http-equiv="Content-Type"
    content="...charset=...">`` within the same window.
 5. **Default** — utf-8 (the modern-web prior).
@@ -81,10 +89,17 @@ def charset_sniff(
     default) for a page given its decoded html and the Content-Type
     header value (nullable)."""
     window = F.substring(html, 1, prescan)
+    # WHATWG's prescan tokenizer skips comment constructs: a
+    # commented-out <meta charset> must not win. Strip closed comment
+    # blocks inside the window, then blank everything after an unclosed
+    # '<!--' (the window cut a comment in half \u2014 its content, including
+    # any meta the full page closes later, is not scannable text).
+    scanned = F.regexp_replace(window, r"(?s)<!--.*?-->", "")
+    scanned = F.regexp_replace(scanned, r"(?s)<!--.*$", "")
     bom = F.substring(html, 1, 1) == "\ufeff"
     hdr = F.regexp_extract(F.coalesce(content_type, F.lit("")), _HEADER_RE, 1)
-    meta = F.regexp_extract(window, _META_RE, 1)
-    equiv = F.regexp_extract(window, _EQUIV_RE, 1)
+    meta = F.regexp_extract(scanned, _META_RE, 1)
+    equiv = F.regexp_extract(scanned, _EQUIV_RE, 1)
     encoding = (
         F.when(bom, F.lit("utf-8"))
         .when(hdr != "", _normalize(hdr))

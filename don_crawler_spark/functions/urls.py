@@ -246,16 +246,25 @@ def surt_key(url: Column) -> Column:
     Python. Userinfo (``user@host``) is out of contract: the crawl's
     canonicalizer never emits it, and Common Crawl's own SURT drops
     captures carrying it.
+
+    The input is lowercased BEFORE the scheme strip (an uppercase
+    ``HTTPS://`` must not survive into the key), and the host stops at
+    the first of ``/``, ``?`` or ``#`` — canonicalize_url emits
+    query-bearing root URLs (``https://example.com?q=1``), whose SURT is
+    ``com,example)/?q=1``: the query belongs to the path remainder, never
+    the host.
     """
-    rest = F.lower(F.regexp_replace(url, r"^[a-z][a-z0-9+.-]*://", ""))
-    hostport = F.substring_index(rest, "/", 1)
+    rest = F.regexp_replace(F.lower(url), r"^[a-z][a-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]+)", 1)
     host = F.regexp_replace(
         F.substring_index(hostport, ":", 1), r"^www\.", ""
     )
-    path = F.when(
-        rest.contains("/"),
-        F.substr(rest, F.length(hostport) + F.lit(1)),
-    ).otherwise(F.lit("/"))
+    remainder = F.substr(rest, F.length(hostport) + F.lit(1))
+    path = (
+        F.when(remainder == "", F.lit("/"))
+        .when(remainder.startswith("/"), remainder)
+        .otherwise(F.concat(F.lit("/"), remainder))
+    )
     return F.concat(
         F.array_join(F.reverse(F.split(host, r"\.")), ","),
         F.lit(")"),

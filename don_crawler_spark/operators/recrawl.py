@@ -137,15 +137,18 @@ def snapshot_diff(prev: DataFrame, curr: DataFrame) -> DataFrame:
     md5-prefix int64) before the join, so the one full-outer shuffle
     carries ~16 bytes per URL and the page text never crosses an
     exchange (plan-asserted) — at 10^10 URLs the diff is a few hundred
-    GB of shuffle, not the corpus. The fingerprint is the repo-wide
-    md5-prefix convention (hygiene.normalize_ccnet), exactly
-    replayable in the DuckDB oracle.
+    GB of shuffle, not the corpus. The fingerprint is a 60-bit md5
+    prefix (15 hex chars — the widest prefix that stays inside signed
+    int64 in BOTH Spark and DuckDB, so the oracle replays it exactly):
+    at 10^10 changed URLs per dump pair the expected number of
+    false-'unchanged' collisions is ~1e-8, vs a few per pair at the
+    32-bit width this shipped with through r4 (ADVICE r4).
     """
 
     def fp(df: DataFrame, name: str) -> DataFrame:
         return df.select(
             "url",
-            F.conv(F.substring(F.md5("text"), 1, 8), 16, 10)
+            F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
             .cast("bigint")
             .alias(name),
         )

@@ -43,6 +43,16 @@ def _xml_unescape(c: Column) -> Column:
     return c
 
 
+def _cdata_or_unescape(c: Column) -> Column:
+    """CDATA content is literal per the XML spec — a title
+    ``<![CDATA[use &amp; here]]>`` surfaces the five characters
+    ``&amp;``, never ``&`` (ADVICE r4). Entity unescaping applies only
+    to the non-CDATA branch."""
+    return F.when(
+        c.rlike(r"^<!\[CDATA\["), _strip_cdata(c)
+    ).otherwise(_xml_unescape(c))
+
+
 def parse_sitemaps(
     df: DataFrame, host_col: str = "host", xml_col: str = "xml"
 ) -> DataFrame:
@@ -61,7 +71,7 @@ def parse_sitemaps(
         .filter(loc != "")
         .select(
             "host",
-            _xml_unescape(_strip_cdata(loc)).alias("loc"),
+            _cdata_or_unescape(loc).alias("loc"),
             lastmod.alias("lastmod"),
             "is_index",
         )
@@ -151,9 +161,9 @@ def parse_feeds(feeds: DataFrame, xml: str = "xml") -> DataFrame:
                 F.nullif(F.regexp_extract("chunk", _ATOM_ALT_HR, 1), F.lit("")),
                 raw,
             )
-        url = _xml_unescape(_strip_cdata(raw))
-        title = _xml_unescape(
-            _strip_cdata(F.regexp_extract("chunk", _ITEM_TITLE, 1))
+        url = _cdata_or_unescape(raw)
+        title = _cdata_or_unescape(
+            F.regexp_extract("chunk", _ITEM_TITLE, 1)
         )
         return sliced.select(
             "feed_url",

@@ -86,6 +86,43 @@ def test_charset_alias_folding_and_prescan_window(spark) -> None:
     assert got[6] == ("windows-1252", "meta")
 
 
+def test_charset_prescan_skips_comments(spark) -> None:
+    # ADVICE r4: WHATWG's prescan skips comment constructs — a
+    # commented-out declaration inside the window must NOT be honored
+    got = _sniff(
+        spark,
+        [
+            # closed comment wrapping the meta -> ignored
+            (
+                0,
+                '<html><head><!-- <meta charset="big5"> --></head>'
+                "<body>x</body></html>",
+                None,
+            ),
+            # commented meta followed by a real one -> real one wins
+            (
+                1,
+                '<head><!-- <meta charset="big5"> -->'
+                '<meta charset="utf8"></head>',
+                None,
+            ),
+            # unclosed comment suppresses the rest of the window
+            (2, '<head><!-- oops <meta charset="big5"></head>', None),
+            # commented http-equiv is skipped the same way
+            (
+                3,
+                '<head><!-- <meta http-equiv="Content-Type" '
+                'content="text/html; charset=Shift_JIS"> --></head>',
+                None,
+            ),
+        ],
+    )
+    assert got[0] == ("utf-8", "default")
+    assert got[1] == ("utf-8", "meta")
+    assert got[2] == ("utf-8", "default")
+    assert got[3] == ("utf-8", "default")
+
+
 def test_charset_plan_is_map_side_only(spark) -> None:
     docs = load(spark, SF, "documents", respread=False)
     plan = (

@@ -128,6 +128,14 @@ def test_surt_key_shapes(spark) -> None:
         ("http://example.com", "com,example)/"),  # no path -> '/'
         ("https://a.b.c.d.org:8080/x?Q=1", "org,d,c,b,a)/x?q=1"),
         ("http://WWW.UPPER.NET/p", "net,upper)/p"),
+        # ADVICE r4: query-bearing root URL — the '?' starts the path
+        # remainder, never the host
+        ("https://example.com?q=1", "com,example)/?q=1"),
+        ("https://example.com:8080?q=1", "com,example)/?q=1"),
+        # ADVICE r4: uppercase scheme must be stripped too
+        ("HTTPS://WWW.Example.com/Path", "com,example)/path"),
+        # fragment-bearing root URL
+        ("http://example.com#frag", "com,example)/#frag"),
     ]
     df = spark.createDataFrame(cases, "url string, want string")
     bad = df.select(surt_key(F.col("url")).alias("got"), "want").where(

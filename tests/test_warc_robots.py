@@ -164,8 +164,10 @@ def test_parse_sitemaps_cdata_loc(spark) -> None:
     )
     df = spark.createDataFrame([("a.com", xml)], "host string, xml string")
     rows = parse_sitemaps(df).collect()
+    # CDATA content is literal per the XML spec (ADVICE r4): the
+    # wrapped '&amp;' surfaces as the five characters, not '&'
     assert [(r.loc, r.is_index) for r in rows] == [
-        ("https://a.com/cdata?x=1&y=2", False)
+        ("https://a.com/cdata?x=1&amp;y=2", False)
     ]
 
 
@@ -585,7 +587,9 @@ def test_feed_parse_shapes(spark) -> None:
         for r in parse_feeds(feeds).collect()
     )
     assert got == [
-        ("f1", "rss", "https://a.example/p?x=1&y=2", "Hello & co"),
+        # CDATA title stays literal (XML spec, ADVICE r4); the
+        # non-CDATA link still gets entity decoding
+        ("f1", "rss", "https://a.example/p?x=1&y=2", "Hello &amp; co"),
         ("f1", "rss", "https://a.example/q", None),
         ("f2", "atom", "https://b.example/e1", "E1"),
     ]
