@@ -1,7 +1,10 @@
 """Snapshot checkpoint protocol — manifest-over-parquet.
 
-Iceberg's runtime jar is not available in this sandbox, so snapshots are
-parquet directories plus a JSON manifest written LAST via
+Iceberg's runtime jar is not available in this sandbox (probed r5: a
+full-filesystem search finds no ``iceberg-spark-runtime`` jar, there is
+no ivy/maven cache, and the environment is offline with package installs
+disallowed — the ``spark.jars.packages`` path cannot resolve), so
+snapshots are parquet directories plus a JSON manifest written LAST via
 write-temp-then-atomic-rename (SURVEY.md §7 step 5). The manifest is the
 commit point: a killed job leaves at most a dangling round directory that
 the next run ignores, so resume loses at most one round (north_star's
