@@ -205,6 +205,13 @@ def vitality_index(
     Returns (repo, vitality double) — or the per-day frame when
     ``per_day`` (repo, day_idx, daily_vitality).
     """
+    # NOTE(r5, probed): the spine has two consumers (the base join and
+    # user_community's non-equi join), the same shape the graph.py loops
+    # pin with a lazy localCheckpoint — but here the pin measured
+    # NEUTRAL-to-NEGATIVE (8.6s -> 9.6s median at sf0.1/local[32]): the
+    # spine subtree is one cheap distinct, and checkpointing it forfeits
+    # the scan-level column pruning both consumers otherwise get.
+    # Left unpinned on the measurement.
     spine = day_spine(spark, commits, days, now)
     act = daily_activity(commits)
     tg = daily_tags(tags)
