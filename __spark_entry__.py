@@ -3055,6 +3055,58 @@ def pagerank_q(spark, sf_dir):
     return GR.pagerank(GR.synth_host_edges(docs, n_hosts=211), iters=5)
 
 
+def _opic_oracle(n_hosts: int = 211, iters: int = 5) -> str:
+    """Unrolled-CTE DuckDB mirror of operators/graph.opic — the same
+    batch-synchronous cash/history recurrence in BIGINT floor
+    arithmetic (every value non-negative), bit-exact."""
+    nh, nano = n_hosts, 1_000_000_000
+    parts = [
+        _edge_ctes(nh)
+        + f""",
+degs AS (SELECT src AS host, COUNT(*) AS deg FROM edges GROUP BY src),
+nd AS (SELECT n.host, COALESCE(d.deg, 0) AS deg
+       FROM nodes n LEFT JOIN degs d USING (host)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+it0 AS (SELECT host, deg, CAST({nano} // n AS BIGINT) AS c,
+               CAST(0 AS BIGINT) AS h
+        FROM nd CROSS JOIN nn)"""
+    ]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"""sh{k} AS (SELECT e.dst AS host, CAST(SUM(p.c // p.deg) AS BIGINT) AS s
+        FROM edges e JOIN it{p} p ON e.src = p.host GROUP BY e.dst),
+dg{k} AS (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dsum
+          FROM it{p} WHERE deg = 0),
+it{k} AS (SELECT nd.host, nd.deg,
+            CAST(COALESCE(s, 0) + dsum // n AS BIGINT) AS c,
+            CAST(p.h + p.c AS BIGINT) AS h
+          FROM nd LEFT JOIN sh{k} USING (host)
+          JOIN it{p} p ON p.host = nd.host
+          CROSS JOIN dg{k} CROSS JOIN nn)"""
+        )
+    parts.append(
+        f"""SELECT CAST(host AS INT) AS host, CAST(deg AS INT) AS out_deg,
+       c AS cash_nano, h AS history_nano,
+       ROUND((h + c) / {nano * (iters + 1)}.0, 6) AS importance
+FROM it{iters}"""
+    )
+    head, tail = parts[0], parts[-1]
+    return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
+
+
+@_q("graph_opic", _opic_oracle())
+def opic_q(spark, sf_dir):
+    """OPIC online page importance (operators/graph.py opic — Abiteboul
+    et al., WWW 2003): batch-synchronous cash/history sweep over the
+    synthetic host graph, the frontier-priority score a round-based
+    crawl computes between rounds. Integer fixed point, bit-exact vs
+    the unrolled-CTE oracle; iterations shuffle only the (host, cash,
+    history) triple (pair-relation loop discipline)."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.opic(GR.synth_host_edges(docs, n_hosts=211), iters=5)
+
+
 def _hits_oracle(n_hosts: int = 211, iters: int = 3) -> str:
     """Unrolled-CTE DuckDB mirror of operators/graph.hits — the same
     integer fixed-point (DIV-first max normalization), bit-exact."""

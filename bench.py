@@ -121,6 +121,7 @@ HEADLINE_QUERIES = [
     "feed_parse",
     "url_template_mining",
     "graph_pagerank_personalized",
+    "graph_opic",
 ]
 
 

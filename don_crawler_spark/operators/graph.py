@@ -152,6 +152,95 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     )
 
 
+def opic(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """OPIC — Adaptive On-Line Page Importance Computation (Abiteboul,
+    Preda & Cobena, WWW 2003): the frontier-scheduling importance score
+    computed *during* a crawl, without waiting for a PageRank
+    convergence pass. Each page holds ``cash``; when processed it banks
+    its cash into ``history`` and distributes it equally over its
+    out-links (dangling pages pay a virtual node that redistributes
+    uniformly). A page's importance estimate is proportional to the
+    cash it has accumulated over time — crawl schedulers fetch the
+    highest-cash frontier pages first. This is the batch-synchronous
+    variant: every round, every node banks and distributes at once,
+    which is the form a round-based Spark crawl would actually run
+    between frontier rounds.
+
+    Same integer fixed-point discipline as pagerank (module doc): total
+    cash starts at ~NANO (``NANO DIV n`` each), every step is BIGINT
+    floor arithmetic (`c DIV deg` shares, `dsum DIV n` virtual
+    redistribution), so the unrolled-CTE DuckDB oracle matches
+    bit-for-bit. ``importance`` normalizes ``history + cash`` by the
+    ``(iters + 1) * NANO`` total that has entered the system.
+
+    Loop shape: the pair-relation discipline (see pagerank) — static
+    edges+degree / node-state / dangling-set relations pinned once;
+    each iteration shuffles only the (host, cash, history) BIGINT
+    triple, pinned at definition (three consumers: share join,
+    dangling sum, and the bank step reads its own prior state).
+    """
+    spark = edges.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    edges = edges.repartition(cores, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = edges.join(deg, "src").localCheckpoint(eager=False)
+    nn = nodes.agg(F.count("*").alias("n"))
+    nd = (
+        nodes.join(deg, nodes["host"] == deg["src"], "left")
+        .select("host", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
+        .crossJoin(F.broadcast(nn))
+        .localCheckpoint(eager=False)
+    )
+    dang_hosts = nd.filter(F.col("deg") == 0).select("host")
+
+    state = nd.select(
+        "host",
+        F.expr(f"{NANO} DIV n").alias("c"),
+        F.lit(0).cast("long").alias("h"),
+    )
+    for _ in range(iters):
+        state = state.localCheckpoint(eager=False)
+        shares = (
+            e_deg.join(state, e_deg["src"] == state["host"])
+            .select(F.col("dst"), F.expr("c DIV deg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        dang = (
+            state.join(dang_hosts, "host", "left_semi")
+            .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("dsum"))
+            .crossJoin(F.broadcast(nd.select("n").limit(1)))
+            .select(F.expr("dsum DIV n").alias("dshare"))
+        )
+        # bank: h' = h + c (the node is "processed"); receive: c' =
+        # in-shares + the virtual node's uniform redistribution
+        state = (
+            state.join(shares, state["host"] == shares["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "host",
+                F.expr("coalesce(s, 0) + dshare").alias("c"),
+                F.expr("h + c").alias("h"),
+            )
+        )
+    meta = nd.select(F.col("host").alias("m_host"), "deg")
+    total = float(NANO * (iters + 1))
+    return state.join(meta, state["host"] == meta["m_host"]).select(
+        F.col("host").cast("int").alias("host"),
+        F.col("deg").cast("int").alias("out_deg"),
+        F.col("c").alias("cash_nano"),
+        F.col("h").alias("history_nano"),
+        F.round((F.col("h") + F.col("c")) / F.lit(total), 6).alias(
+            "importance"
+        ),
+    )
+
+
 def anchor_text_topk(
     links: DataFrame, k: int = 3, min_inlinks: int = 1
 ) -> DataFrame:

@@ -347,6 +347,55 @@ def test_hits_plan_stays_jvm(spark) -> None:
     assert "Python" not in plan
 
 
+def test_opic_hand_computed_round(spark) -> None:
+    """One OPIC round on a 3-node graph (1->2, 1->3, 2->1; 3 dangling),
+    hand-computed in the same integer floor arithmetic."""
+    from don_crawler_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1)], "src long, dst long"
+    )
+    rows = {r.host: r for r in opic(edges, iters=1).collect()}
+    c0 = 1_000_000_000 // 3  # 333333333
+    # every node banks its initial cash
+    assert all(rows[h].history_nano == c0 for h in (1, 2, 3))
+    # node 1: node 2's full cash + virtual share of node 3's cash
+    dshare = c0 // 3
+    assert rows[1].cash_nano == c0 + dshare
+    # nodes 2 and 3: half of node 1's cash + virtual share
+    assert rows[2].cash_nano == c0 // 2 + dshare
+    assert rows[3].cash_nano == c0 // 2 + dshare
+    assert rows[3].out_deg == 0 and rows[1].out_deg == 2
+
+
+def test_opic_cash_conservation(spark) -> None:
+    """Total cash stays ~NANO per round (floor losses only) and total
+    history after k rounds is ~k*NANO — the OPIC invariant."""
+    from don_crawler_spark.operators.graph import NANO, opic
+    from don_crawler_spark.operators.graph import synth_host_edges
+
+    e = synth_host_edges(
+        spark.range(0, 500).select(F.col("id").alias("doc_id")), n_hosts=53
+    )
+    agg = opic(e, iters=4).agg(
+        F.sum("cash_nano").alias("c"), F.sum("history_nano").alias("h")
+    ).collect()[0]
+    n, n_edges = 53, e.count()
+    # floor losses per round: < deg per sharing node (sums to < |E|)
+    # plus < n at the virtual node; < n at initialization
+    loss = 5 * (n_edges + n) + n
+    assert NANO - loss <= agg["c"] <= NANO
+    assert 4 * (NANO - loss) <= agg["h"] <= 4 * NANO
+
+
+def test_opic_plan_stays_jvm(spark) -> None:
+    from don_crawler_spark.operators.graph import opic
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    plan = opic(edges, iters=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_degree_distribution_buckets(spark) -> None:
     from don_crawler_spark.operators.graph import degree_distribution
 
