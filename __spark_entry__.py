@@ -3095,6 +3095,42 @@ FROM it{iters}"""
     return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
 
 
+@_q(
+    "graph_triangles",
+    # Independent-ALGORITHM oracle: the naive three-way join enumerates
+    # each triangle (x < y < z) exactly once; the engine uses
+    # degree-ordered orientation instead — the comparison checks the
+    # answer, not a mirrored plan.
+    _edge_ctes(211)
+    + """,
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+degs AS (SELECT host, COUNT(*) AS degree FROM
+         (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+         GROUP BY host),
+tris AS (SELECT a.u AS x, a.v AS y, b.v AS z
+         FROM und a JOIN und b ON b.u = a.v
+         JOIN und c ON c.u = a.u AND c.v = b.v),
+th AS (SELECT host, COUNT(*) AS n FROM
+       (SELECT x AS host FROM tris UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris) GROUP BY host)
+SELECT CAST(d.host AS INT) AS host, CAST(degree AS INT) AS degree,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN degree >= 2
+            THEN COALESCE(n, 0) * 2000 // (degree * (degree - 1))
+            ELSE 0 END AS BIGINT) AS clustering_permille
+FROM degs d LEFT JOIN th ON th.host = d.host""",
+)
+def triangles_q(spark, sf_dir):
+    """Exact triangle counts + clustering coefficient per host
+    (operators/graph.py triangles): degree-ordered-orientation wedge
+    enumeration (Suri & Vassilvitskii 2011) closed by a semi-join —
+    hub-skew-safe at web scale — checked against a DuckDB oracle that
+    runs the naive three-way join, a genuinely different algorithm."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.triangles(GR.synth_host_edges(docs, n_hosts=211))
+
+
 @_q("graph_opic", _opic_oracle())
 def opic_q(spark, sf_dir):
     """OPIC online page importance (operators/graph.py opic — Abiteboul

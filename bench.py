@@ -122,6 +122,7 @@ HEADLINE_QUERIES = [
     "url_template_mining",
     "graph_pagerank_personalized",
     "graph_opic",
+    "graph_triangles",
 ]
 
 

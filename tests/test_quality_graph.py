@@ -396,6 +396,41 @@ def test_opic_plan_stays_jvm(spark) -> None:
     assert "Python" not in plan
 
 
+def test_triangles_k4_and_pendant(spark) -> None:
+    from don_crawler_spark.operators.graph import triangles
+
+    # triangle {1,2,3} with a pendant 4 hanging off 3 (reversed edge
+    # direction + a duplicate to exercise normalization)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 3), (2, 1)], "src long, dst long"
+    )
+    got = {
+        r.host: (r.degree, r.n_triangles, r.clustering_permille)
+        for r in triangles(edges).collect()
+    }
+    assert got == {
+        1: (2, 1, 1000),
+        2: (2, 1, 1000),
+        3: (3, 1, 333),
+        4: (1, 0, 0),
+    }
+    # K4: every vertex has degree 3, sits in 3 triangles, coefficient 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b],
+        "src long, dst long",
+    )
+    for r in triangles(k4).collect():
+        assert (r.degree, r.n_triangles, r.clustering_permille) == (3, 3, 1000)
+
+
+def test_triangles_plan_stays_jvm(spark) -> None:
+    from don_crawler_spark.operators.graph import triangles
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    plan = triangles(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
 def test_degree_distribution_buckets(spark) -> None:
     from don_crawler_spark.operators.graph import degree_distribution
 
