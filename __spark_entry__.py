@@ -4354,6 +4354,47 @@ FROM it{iters}"""
     return head + ",\n" + ",\n".join(parts[1:-1]) + "\n" + tail
 
 
+def _seed_distance_oracle(n_hosts: int = 211, max_hops: int = 6) -> str:
+    """Bounded recursive-CTE BFS mirror of operators/graph.seed_distance
+    — a different algorithm than the engine's iterative min-propagation
+    (UNION dedups (host, dist) pairs, so cycles terminate at the hop
+    cap), checking answers rather than a mirrored plan."""
+    edges = _edge_ctes(n_hosts)[len("WITH ") :]
+    return f"""WITH RECURSIVE {edges},
+seeds AS (SELECT host FROM nodes WHERE host % 8 = 0),
+walk(host, dist) AS (
+  SELECT host, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.host
+  WHERE w.dist < {max_hops}),
+dmin AS (SELECT host, MIN(dist) AS d FROM walk GROUP BY host)
+SELECT CAST(n.host AS INT) AS host,
+       COALESCE(d = 0, FALSE) AS is_seed,
+       CAST(d AS INT) AS hops,
+       d IS NOT NULL AS reached
+FROM nodes n LEFT JOIN dmin ON dmin.host = n.host"""
+
+
+@_q("graph_seed_distance", _seed_distance_oracle())
+def seed_distance_q(spark, sf_dir):
+    """Crawl-depth audit (operators/graph.py seed_distance): exact
+    directed BFS hop count from the host % 8 == 0 seed set (the same
+    seed rule as graph_pagerank_personalized), capped at 6 hops —
+    unreachable hosts carry NULL hops / reached=false. Engine:
+    iterative min-distance pair-relation loop; oracle: bounded
+    recursive CTE — different algorithms, compared on answers."""
+    docs = load(spark, sf_dir, "documents")
+    edges = GR.synth_host_edges(docs, n_hosts=211)
+    seeds = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .filter(F.col("host") % 8 == 0)
+    )
+    return GR.seed_distance(edges, seeds, max_hops=6)
+
+
 @_q("graph_pagerank_personalized", _ppr_oracle())
 def ppr_q(spark, sf_dir):
     """Topic-sensitive PageRank (operators/graph.pagerank_personalized):

@@ -123,6 +123,7 @@ HEADLINE_QUERIES = [
     "graph_pagerank_personalized",
     "graph_opic",
     "graph_triangles",
+    "graph_seed_distance",
 ]
 
 

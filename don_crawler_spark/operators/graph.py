@@ -241,6 +241,79 @@ def opic(edges: DataFrame, iters: int = 5) -> DataFrame:
     )
 
 
+def seed_distance(
+    edges: DataFrame, seeds: DataFrame, max_hops: int = 6
+) -> DataFrame:
+    """Directed BFS distance from the nearest seed host — the crawl-depth
+    audit: every production crawl caps how many link hops from the seed
+    list it will wander (depth policies in Heritrix / the hops field in
+    Common Crawl metadata), and frontier rows beyond the cap are pruned
+    before they are fetched. The distance also stratifies quality
+    reporting (content quality degrades with hop count — a standard
+    corpus-QA cut).
+
+    Output: one row per host — (host, is_seed, hops, reached). ``hops``
+    is the exact shortest directed distance capped at ``max_hops``;
+    hosts not reachable within the cap carry NULL hops and
+    reached=false (degrade-don't-drop).
+
+    Loop shape: iterative min-distance propagation in the pair-relation
+    discipline — static src-partitioned edges pinned once, each of the
+    ``max_hops`` rounds shuffles only the (host, dist) INT pair
+    relation (union with the hop messages + one min groupBy), itself
+    pinned at definition (two consumers: the message join and the
+    union). The DuckDB oracle runs a bounded recursive CTE instead — a
+    different algorithm, so the conformance test checks answers, not a
+    mirrored plan. Fixed iteration count keeps the result a pure lazy
+    DataFrame (the queries() contract); a convergence-checked driver
+    loop would localCheckpoint + count per round like components().
+    """
+    spark = edges.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .repartition(cores, "src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionAll(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed_set = seeds.select(F.col("host")).distinct().join(
+        nodes, "host", "left_semi"
+    )
+    state = seed_set.select("host", F.lit(0).cast("int").alias("dist"))
+    for _ in range(max_hops):
+        state = state.localCheckpoint(eager=False)
+        msgs = (
+            e.join(state, e["src"] == state["host"])
+            .select(F.col("dst").alias("host"), (F.col("dist") + 1).alias("dist"))
+        )
+        state = (
+            state.unionByName(msgs)
+            .groupBy("host")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+    reached = nodes.join(
+        state.select(F.col("host").alias("s_host"), "dist"),
+        nodes["host"] == F.col("s_host"),
+        "left",
+    )
+    return reached.select(
+        F.col("host").cast("int").alias("host"),
+        (F.col("dist") == 0).alias("is_seed"),
+        F.when(F.col("dist") <= max_hops, F.col("dist")).alias("hops"),
+        F.col("dist").isNotNull().alias("reached"),
+    ).select(
+        "host",
+        F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        "hops",
+        "reached",
+    )
+
+
 def triangles(edges: DataFrame) -> DataFrame:
     """Per-host triangle counts + local clustering coefficient over the
     undirected host graph — the density signal behind link-farm

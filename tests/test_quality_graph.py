@@ -423,6 +423,57 @@ def test_triangles_k4_and_pendant(spark) -> None:
         assert (r.degree, r.n_triangles, r.clustering_permille) == (3, 3, 1000)
 
 
+def test_seed_distance_chain_cycle_unreachable(spark) -> None:
+    from don_crawler_spark.operators.graph import seed_distance
+
+    # cycle 1->2->3->1 seeded at 1; component {4,5} unreachable
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "host long")
+    got = {
+        r.host: (r.is_seed, r.hops, r.reached)
+        for r in seed_distance(edges, seeds, max_hops=6).collect()
+    }
+    assert got == {
+        1: (True, 0, True),
+        2: (False, 1, True),
+        3: (False, 2, True),
+        4: (False, None, False),
+        5: (False, None, False),
+    }
+
+
+def test_seed_distance_hop_cap(spark) -> None:
+    from don_crawler_spark.operators.graph import seed_distance
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "host long")
+    got = {
+        r.host: r.hops
+        for r in seed_distance(chain, seeds, max_hops=3).collect()
+    }
+    # hosts within 3 hops get exact distances; the rest are pruned
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: None, 6: None, 7: None,
+                   8: None}
+
+
+def test_seed_distance_plan_stays_jvm(spark) -> None:
+    from don_crawler_spark.operators.graph import seed_distance
+
+    edges = spark.createDataFrame([(0, 1)], "src int, dst int")
+    seeds = spark.createDataFrame([(0,)], "host int")
+    plan = (
+        seed_distance(edges, seeds, max_hops=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan
+
+
 def test_triangles_plan_stays_jvm(spark) -> None:
     from don_crawler_spark.operators.graph import triangles
 
