@@ -3131,6 +3131,44 @@ def triangles_q(spark, sf_dir):
     return GR.triangles(GR.synth_host_edges(docs, n_hosts=211))
 
 
+@_q(
+    "graph_assortativity",
+    # HUGEINT moment mirror over the same symmetric pair list; the
+    # numerator/denominator comparison rides the exact decimal strings.
+    _edge_ctes(211)
+    + """,
+und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst),
+degs AS (SELECT host, COUNT(*) AS d FROM
+         (SELECT u AS host FROM und UNION ALL SELECT v FROM und)
+         GROUP BY host),
+pairs AS (SELECT a.d AS du, b.d AS dv
+          FROM und JOIN degs a ON a.host = und.u
+          JOIN degs b ON b.host = und.v),
+m AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS m_edges,
+             CAST(SUM(CAST(du + dv AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(2 * du * dv AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(du * du + dv * dv AS HUGEINT)) AS HUGEINT) AS sxx
+      FROM pairs)
+SELECT m_edges,
+       CAST(sx AS VARCHAR) AS sum_x,
+       CAST(sxy AS VARCHAR) AS sum_xy,
+       CAST(sxx AS VARCHAR) AS sum_xx,
+       CASE WHEN m_edges * sxx - sx * sx <> 0
+            THEN ROUND(CAST(m_edges * sxy - sx * sx AS DOUBLE)
+                       / CAST(m_edges * sxx - sx * sx AS DOUBLE), 6)
+            END AS assortativity
+FROM m""",
+)
+def assortativity_q(spark, sf_dir):
+    """Degree assortativity (operators/graph.py assortativity — Newman
+    2002): one exact-integer moment pass over the symmetric endpoint-
+    degree pairs of the synthetic host graph; moments in DECIMAL(38,0)
+    mirrored by DuckDB HUGEINT, compared as exact decimal strings."""
+    docs = load(spark, sf_dir, "documents")
+    return GR.assortativity(GR.synth_host_edges(docs, n_hosts=211))
+
+
 @_q("graph_opic", _opic_oracle())
 def opic_q(spark, sf_dir):
     """OPIC online page importance (operators/graph.py opic — Abiteboul

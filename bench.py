@@ -124,6 +124,7 @@ HEADLINE_QUERIES = [
     "graph_opic",
     "graph_triangles",
     "graph_seed_distance",
+    "graph_assortativity",
 ]
 
 

@@ -460,6 +460,30 @@ def test_seed_distance_hop_cap(spark) -> None:
                    8: None}
 
 
+def test_assortativity_star_is_minus_one(spark) -> None:
+    from don_crawler_spark.operators.graph import assortativity
+
+    # star: hub 1 -> leaves 2,3,4. Hand moments over the symmetric
+    # pairs: m=6, Sx=12, Sxy=18, Sxx=30 -> r = (108-144)/(180-144) = -1
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    r = assortativity(star).collect()[0]
+    assert (r.m_edges, r.sum_x, r.sum_xy, r.sum_xx) == (6, "12", "18", "30")
+    assert r.assortativity == -1.0
+
+
+def test_assortativity_regular_graph_is_null(spark) -> None:
+    from don_crawler_spark.operators.graph import assortativity
+
+    # 4-cycle: every degree 2 -> zero degree variance -> undefined r
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    r = assortativity(cyc).collect()[0]
+    assert r.assortativity is None and r.m_edges == 8
+
+
 def test_seed_distance_plan_stays_jvm(spark) -> None:
     from don_crawler_spark.operators.graph import seed_distance
 
