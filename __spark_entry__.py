@@ -3051,7 +3051,7 @@ FROM it{iters}"""
 
 @_q("graph_pagerank", _pagerank_oracle())
 def pagerank_q(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.pagerank(GR.synth_host_edges(docs, n_hosts=211), iters=5)
 
 
@@ -3127,7 +3127,7 @@ def triangles_q(spark, sf_dir):
     enumeration (Suri & Vassilvitskii 2011) closed by a semi-join —
     hub-skew-safe at web scale — checked against a DuckDB oracle that
     runs the naive three-way join, a genuinely different algorithm."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.triangles(GR.synth_host_edges(docs, n_hosts=211))
 
 
@@ -3165,7 +3165,7 @@ def assortativity_q(spark, sf_dir):
     2002): one exact-integer moment pass over the symmetric endpoint-
     degree pairs of the synthetic host graph; moments in DECIMAL(38,0)
     mirrored by DuckDB HUGEINT, compared as exact decimal strings."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.assortativity(GR.synth_host_edges(docs, n_hosts=211))
 
 
@@ -3177,7 +3177,7 @@ def opic_q(spark, sf_dir):
     crawl computes between rounds. Integer fixed point, bit-exact vs
     the unrolled-CTE oracle; iterations shuffle only the (host, cash,
     history) triple (pair-relation loop discipline)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.opic(GR.synth_host_edges(docs, n_hosts=211), iters=5)
 
 
@@ -3234,7 +3234,7 @@ def hits_q(spark, sf_dir):
     """HITS hubs & authorities over the same deterministic host graph
     as graph_pagerank — the second classic link-analysis ranker a
     crawl tier feeds (Kleinberg 1999)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.hits(GR.synth_host_edges(docs, n_hosts=211), iters=3)
 
 
@@ -3838,7 +3838,9 @@ def anchor_text_q(spark, sf_dir):
     DISTINCT (dst, anchor)."""
     from don_crawler_spark.operators.graph import anchor_text_topk
 
-    docs = load(spark, sf_dir, "documents")
+    # first heavy op is the (dst, anchor) groupBy shuffle — the respread
+    # exchange would be pure overhead (loader docstring's opt-out case)
+    docs = load(spark, sf_dir, "documents", respread=False)
     links = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
@@ -4346,7 +4348,7 @@ def graph_components_q(spark, sf_dir):
     synthetic graph near the percolation threshold at sf0.01 (many
     non-trivial components, long chains) — a harder convergence test
     than the dense 211-host PageRank graph."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.components(GR.synth_host_edges(docs, n_hosts=1024))
 
 
@@ -4422,7 +4424,7 @@ def seed_distance_q(spark, sf_dir):
     unreachable hosts carry NULL hops / reached=false. Engine:
     iterative min-distance pair-relation loop; oracle: bounded
     recursive CTE — different algorithms, compared on answers."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     edges = GR.synth_host_edges(docs, n_hosts=211)
     seeds = (
         edges.select(F.col("src").alias("host"))
@@ -4440,7 +4442,7 @@ def ppr_q(spark, sf_dir):
     TrustRank-style proximity scoring. Same integer fixed-point as
     graph_pagerank; the oracle unrolls the seed-teleport recurrence to
     the same BIGINT floor arithmetic."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     edges = GR.synth_host_edges(docs, n_hosts=211)
     seeds = (
         edges.select(F.col("src").alias("host"))
@@ -4665,7 +4667,7 @@ def reciprocity_q(spark, sf_dir):
     reciprocity_score): per-host reciprocated-out-edge counts via one
     reversed-pair semi-join, exact integer permille, and the
     >= 800-permille + out_deg >= 4 farm-suspect verdict."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.reciprocity_score(GR.synth_host_edges(docs, n_hosts=211))
 
 
@@ -4693,7 +4695,7 @@ def degree_dist_q(spark, sf_dir):
     degree_distribution): log2-bucketed in/out-degree counts — the
     power-law skew audit. Bucket arithmetic is exact integer
     (length(bin(d)) - 1), so both engines agree bit-for-bit."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", respread=False)
     return GR.degree_distribution(GR.synth_host_edges(docs, n_hosts=211))
 
 

@@ -491,14 +491,21 @@ def connected_components(
     Determinism: min over a set is order-independent; the fixed point
     is the unique per-component min id regardless of join order.
     """
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    # size-derived loop-relation width (guide §2.2): the label loop
+    # shuffles tiny (doc_id, lbl) pairs — their partition count must
+    # track the edge relation's size, not the session's scan-sized
+    # shuffle.partitions (AQE cannot coalesce checkpointed RDDs)
+    npart = adaptive_partitions(edges)
     # the pair plan upstream (LSH bucket join etc.) is expensive —
     # materialize the edge list once, iterate over the checkpoint
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.coalesce(npart).localCheckpoint(eager=True)
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("nbr"))
@@ -516,7 +523,7 @@ def connected_components(
             F.least("lbl", F.coalesce("nbr_lbl", "lbl")).alias("lbl"),
             (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
         )
-        stepped = stepped.localCheckpoint(eager=True)
+        stepped = stepped.coalesce(npart).localCheckpoint(eager=True)
         labels = stepped.drop("chg")
         if stepped.filter("chg").count() == 0:
             break

@@ -89,11 +89,15 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     re-derives every earlier iteration twice per level (measured 52s
     -> ~5s at sf0.1/local[32] when this was restructured in r5;
     pagerank_personalized showed the same ratio)."""
-    spark = edges.sparkSession
-    cores = spark.sparkContext.defaultParallelism
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived loop-relation width (guide §2.2): a sandbox host graph
+    # iterates on 1-partition pair relations; a multi-TB edge list gets
+    # thousands — same code path, no session-constant partitioning
+    npart = adaptive_partitions(edges)
     # partition the (static) edge relation by src once; every iteration's
     # rank join reuses this layout, so only the small rank relation moves
-    edges = edges.repartition(cores, "src").persist()
+    edges = edges.repartition(npart, "src").persist()
 
     nodes = (
         edges.select(F.col("src").alias("host"))
@@ -106,10 +110,14 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     e_deg = edges.join(deg, "src").localCheckpoint(eager=False)
     n1 = nodes.agg(F.count("*").alias("n"))
     # static per-node state: host, out-degree (0 = dangling), node count
+    # — coalesced to the size-derived width before the pin (the session's
+    # shuffle.partitions is sized for big scans; AQE cannot coalesce a
+    # checkpointed RDD after the fact)
     nd = (
         nodes.join(deg, nodes["host"] == deg["src"], "left")
         .select("host", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
         .crossJoin(F.broadcast(n1))
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     dang_hosts = nd.filter(F.col("deg") == 0).select("host")
@@ -118,7 +126,7 @@ def pagerank(edges: DataFrame, iters: int = 5) -> DataFrame:
     for _ in range(iters):
         # two consumers (share join + dangling sum): pin the pair
         # relation to one computation, lazily, at definition
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.coalesce(npart).localCheckpoint(eager=False)
         # messages: each non-dangling node splits its rank over out-edges
         shares = (
             e_deg.join(ranks, e_deg["src"] == ranks["host"])
@@ -179,9 +187,11 @@ def opic(edges: DataFrame, iters: int = 5) -> DataFrame:
     triple, pinned at definition (three consumers: share join,
     dangling sum, and the bank step reads its own prior state).
     """
-    spark = edges.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    edges = edges.repartition(cores, "src").persist()
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived loop-relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
+    edges = edges.repartition(npart, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionAll(edges.select(F.col("dst").alias("host")))
@@ -194,6 +204,7 @@ def opic(edges: DataFrame, iters: int = 5) -> DataFrame:
         nodes.join(deg, nodes["host"] == deg["src"], "left")
         .select("host", F.coalesce("deg", F.lit(0)).cast("long").alias("deg"))
         .crossJoin(F.broadcast(nn))
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     dang_hosts = nd.filter(F.col("deg") == 0).select("host")
@@ -204,7 +215,7 @@ def opic(edges: DataFrame, iters: int = 5) -> DataFrame:
         F.lit(0).cast("long").alias("h"),
     )
     for _ in range(iters):
-        state = state.localCheckpoint(eager=False)
+        state = state.coalesce(npart).localCheckpoint(eager=False)
         shares = (
             e_deg.join(state, e_deg["src"] == state["host"])
             .select(F.col("dst"), F.expr("c DIV deg").alias("share"))
@@ -268,17 +279,22 @@ def seed_distance(
     DataFrame (the queries() contract); a convergence-checked driver
     loop would localCheckpoint + count per round like components().
     """
-    spark = edges.sparkSession
-    cores = spark.sparkContext.defaultParallelism
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived loop-relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
     e = (
         edges.select("src", "dst")
-        .repartition(cores, "src")
+        .repartition(npart, "src")
         .localCheckpoint(eager=False)
     )
+    # derive nodes from the pinned edge relation (not the raw plan, which
+    # would recompute the scan + distinct a second time)
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .unionAll(edges.select(F.col("dst").alias("host")))
+        e.select(F.col("src").alias("host"))
+        .unionAll(e.select(F.col("dst").alias("host")))
         .distinct()
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     seed_set = seeds.select(F.col("host")).distinct().join(
@@ -286,7 +302,7 @@ def seed_distance(
     )
     state = seed_set.select("host", F.lit(0).cast("int").alias("dist"))
     for _ in range(max_hops):
-        state = state.localCheckpoint(eager=False)
+        state = state.coalesce(npart).localCheckpoint(eager=False)
         msgs = (
             e.join(state, e["src"] == state["host"])
             .select(F.col("dst").alias("host"), (F.col("dist") + 1).alias("dist"))
@@ -339,6 +355,10 @@ def assortativity(edges: DataFrame) -> DataFrame:
     scanned once and nothing but the 1-row moment vector leaves the
     partial aggregation.
     """
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
     und = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -346,6 +366,7 @@ def assortativity(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     deg = (
@@ -410,6 +431,10 @@ def triangles(edges: DataFrame) -> DataFrame:
     coefficient as exact integer permille of closed wedges:
     ``2000 * t // (deg * (deg - 1))``, 0 where degree < 2.
     """
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
     und = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -417,6 +442,7 @@ def triangles(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .coalesce(npart)
         # consumed three times (degree count, orientation, closing
         # semi-join): pin to one computation
         .localCheckpoint(eager=False)
@@ -426,6 +452,7 @@ def triangles(edges: DataFrame) -> DataFrame:
         .unionAll(und.select(F.col("v").alias("host")))
         .groupBy("host")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("host").alias("u"), F.col("degree").alias("du"))
@@ -441,6 +468,7 @@ def triangles(edges: DataFrame) -> DataFrame:
             F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
         # the wedge self-join reads this relation twice
+        .coalesce(npart)
         .localCheckpoint(eager=False)
     )
     x, y = o.alias("x"), o.alias("y")
@@ -546,19 +574,38 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     Output: (host, out_deg, in_deg, auth_nano, hub_nano, authority,
     hub) with the doubles rounded to 6dp.
     """
-    spark = edges.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    e_src = edges.repartition(cores, "src").persist()
-    e_dst = edges.repartition(cores, "dst").persist()
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived loop-relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
+    # ONE persisted copy of the edge relation; every other static
+    # relation (the dst layout, nodes, the degree aggregates below)
+    # derives from it — the un-persisted edge plan (scan + union +
+    # distinct) used to be recomputed five times (e_src, e_dst, nodes,
+    # outd, ind), a full exchange each
+    e_src = edges.repartition(npart, "src").persist()
+    e_dst = e_src.repartition(npart, "dst").persist()
     nodes = (
-        edges.select(F.col("src").alias("host"))
-        .unionAll(edges.select(F.col("dst").alias("host")))
+        e_src.select(F.col("src").alias("host"))
+        .unionAll(e_src.select(F.col("dst").alias("host")))
         .distinct()
+        .coalesce(npart)
         # referenced in every iteration's two outer joins + the final
         # projection: pin to one computation (lazy, see loop note)
         .localCheckpoint(eager=False)
     )
     norm = "DIV greatest(coalesce(m, 0) DIV {n}, 1)".format(n=NANO)
+    # SPARSE iteration state (r6 restructure): the loop used to rebuild a
+    # DENSE per-node score each half-step (nodes LEFT JOIN raw, missing ->
+    # 0). Hosts absent from a raw half-step relation score exactly 0
+    # (coalesce(null, 0) DIV norm = 0) and a 0 score contributes 0 to
+    # every downstream sum and never wins the max, so the dense rebuild
+    # join changes NO value — but it cost two extra joins per half-step,
+    # and (because a checkpoint joined against a checkpoint derived from
+    # it loses its recorded partitioning to relation-dedup) each planned
+    # as a sort-merge join with two full-width exchanges. The loop now
+    # carries only the sparse (host, score) pairs; zeros are filled once
+    # in the final projection. Values are bit-identical.
     hub = nodes.select("host", F.lit(NANO).cast("long").alias("h"))
     auth = None
     for _ in range(iters):
@@ -573,41 +620,58 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             e_src.join(hub, e_src["src"] == hub["host"])
             .groupBy("dst")
             .agg(F.sum("h").alias("ar"))
+            .coalesce(npart)
             .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("ar").alias("m"))
         auth = (
-            nodes.join(araw, nodes["host"] == araw["dst"], "left")
-            .crossJoin(F.broadcast(amax))
-            .select("host", F.expr(f"coalesce(ar, 0) {norm}").alias("a"))
+            araw.crossJoin(F.broadcast(amax))
+            .select(F.col("dst").alias("host"), F.expr(f"ar {norm}").alias("a"))
         )
         hraw = (
             e_dst.join(auth, e_dst["dst"] == auth["host"])
             .groupBy("src")
             .agg(F.sum("a").alias("hr"))
+            .coalesce(npart)
             .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("hr").alias("m"))
         hub = (
-            nodes.join(hraw, nodes["host"] == hraw["src"], "left")
-            .crossJoin(F.broadcast(hmax))
-            .select("host", F.expr(f"coalesce(hr, 0) {norm}").alias("h"))
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(F.col("src").alias("host"), F.expr(f"hr {norm}").alias("h"))
         )
-    outd = edges.groupBy("src").agg(F.count("*").alias("od"))
-    ind = edges.groupBy("dst").agg(F.count("*").alias("id_"))
+    # degree aggregates reuse the persisted layouts: e_src is already
+    # hash-partitioned by src (e_dst by dst), so neither groupBy adds an
+    # exchange
+    outd = e_src.groupBy("src").agg(F.count("*").alias("od"))
+    ind = e_dst.groupBy("dst").agg(F.count("*").alias("id_"))
     return (
         nodes.join(outd, nodes["host"] == outd["src"], "left")
         .join(ind, nodes["host"] == ind["dst"], "left")
-        .join(auth.withColumnRenamed("host", "ah"), F.col("host") == F.col("ah"))
-        .join(hub.withColumnRenamed("host", "hh"), F.col("host") == F.col("hh"))
+        .join(
+            auth.withColumnRenamed("host", "ah"),
+            F.col("host") == F.col("ah"),
+            "left",
+        )
+        .join(
+            hub.withColumnRenamed("host", "hh"),
+            F.col("host") == F.col("hh"),
+            "left",
+        )
         .select(
             F.col("host").cast("int").alias("host"),
             F.coalesce("od", F.lit(0)).cast("int").alias("out_deg"),
             F.coalesce("id_", F.lit(0)).cast("int").alias("in_deg"),
-            F.col("a").alias("auth_nano"),
-            F.col("h").alias("hub_nano"),
-            F.round(F.col("a") / F.lit(float(NANO)), 6).alias("authority"),
-            F.round(F.col("h") / F.lit(float(NANO)), 6).alias("hub"),
+            # zero-fill for hosts absent from the sparse score relations
+            # — identical to the dense loop's coalesce(raw, 0) DIV norm
+            F.coalesce("a", F.lit(0)).alias("auth_nano"),
+            F.coalesce("h", F.lit(0)).alias("hub_nano"),
+            F.round(F.coalesce("a", F.lit(0)) / F.lit(float(NANO)), 6).alias(
+                "authority"
+            ),
+            F.round(F.coalesce("h", F.lit(0)) / F.lit(float(NANO)), 6).alias(
+                "hub"
+            ),
         )
     )
 
@@ -770,9 +834,11 @@ def pagerank_personalized(
     seed list, so the two keep separate loops (and separate unrolled
     oracles) on purpose.
     """
-    spark = edges.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    edges = edges.repartition(cores, "src").persist()
+    from don_crawler_spark.plans.adaptive import adaptive_partitions
+
+    # size-derived loop-relation width (guide §2.2; see pagerank)
+    npart = adaptive_partitions(edges)
+    edges = edges.repartition(npart, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .unionAll(edges.select(F.col("dst").alias("host")))
@@ -801,7 +867,11 @@ def pagerank_personalized(
     sn = flagged.filter("is_seed").agg(F.count("*").alias("s"))
     # static node state, referenced by every iteration's rebuild join,
     # the dangling set, and the final projection: pin to one computation
-    nd = flagged.crossJoin(F.broadcast(sn)).localCheckpoint(eager=False)
+    nd = (
+        flagged.crossJoin(F.broadcast(sn))
+        .coalesce(npart)
+        .localCheckpoint(eager=False)
+    )
     dang_hosts = nd.filter(F.col("deg") == 0).select("host")
     ranks = nd.select(
         "host",
@@ -814,7 +884,7 @@ def pagerank_personalized(
         # lazy localCheckpoint AT DEFINITION pins the pair relation to
         # one computation instead of compounding re-derivation in the
         # unrolled plan (the hits() fix, measured 14.7s -> 5.9s there)
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.coalesce(npart).localCheckpoint(eager=False)
         shares = (
             e_deg.join(ranks, e_deg["src"] == ranks["host"])
             .select(F.col("dst"), F.expr("r DIV deg").alias("share"))
