@@ -78,7 +78,7 @@ SQL_TOKENS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
 
 def _commits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     return ev.select(
         F.col("user_id").cast("string").alias("repo"),
         F.concat(F.col("event_type"), F.lit("@x")).alias("author_email"),
@@ -88,7 +88,7 @@ def _commits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     return ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").cast("string").alias("repo"), "ts"
     )
@@ -247,7 +247,7 @@ FROM events e LEFT JOIN ranges r
 def a6(spark, sf_dir):
     """A6/J3 — banded score lookup as a broadcast range join
     (git/repo_activity.go:260-274, vitality-ranges.yml)."""
-    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    ev = load(spark, sf_dir, "events", respread=False).select("event_id", "value")
     return range_points(ev, ranges_df(spark), "value", "codeActivity", "points")
 
 
@@ -316,7 +316,7 @@ GROUP BY host""",
 def a9(spark, sf_dir):
     """A9 — latest rate-limit reset bounded to now+24h
     (common/rate_limit_headers.go:19-64)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     bound = NOW + dt.timedelta(hours=24)
     return (
         ev.filter(F.col("ts") <= F.lit(bound))
@@ -354,7 +354,7 @@ FROM (SELECT user_id, event_id, ts,
 )
 def t1(spark, sf_dir):
     """T1/T2 — ORDER BY ts DESC LIMIT 1 per key (scanner/github.go:266-315)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -673,7 +673,7 @@ FROM events""",
 )
 def x15(spark, sf_dir):
     """X15 — JSON decode (apiclient/apiclient.go:277-287)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     return ev.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_value"),
@@ -801,7 +801,7 @@ def k1_record(spark, sf_dir):
         title_from_repository_name,
     )
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     repos = ev.groupBy(F.col("user_id").alias("repo_id")).agg(
         F.min("ts").alias("created_at"),
         F.max(F.when(F.col("event_type") != "view", F.col("ts"))).alias(
@@ -985,7 +985,7 @@ def f9_headers(spark, sf_dir):
 def u1(spark, sf_dir):
     """U1/U2 — union of seed branches (cmd/crawl.go:55-62,
     crawler/crawler.go:199-255)."""
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     a = ev.filter(F.col("event_type") == "error").select("event_type")
     b = ev.filter(F.col("value") > 50.0).select("event_type")
     return a.unionByName(b).groupBy("event_type").agg(
@@ -2217,7 +2217,7 @@ def asof_attr(spark, sf_dir):
     lookup, one shuffle + partitioned window, no range-join blowup."""
     from don_crawler_spark.operators.asof import asof_join
 
-    ev = load(spark, sf_dir, "events")
+    ev = load(spark, sf_dir, "events", respread=False)
     probe = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.col("value").alias("amount")
     )
@@ -2935,7 +2935,7 @@ SELECT user_id,
 FROM s GROUP BY user_id, sid""",
 )
 def sessionize_q(spark, sf_dir):
-    return SS.sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+    return SS.sessionize(load(spark, sf_dir, "events", respread=False), gap_minutes=30)
 
 
 # --- bucketed storage layout (sources/bucketed.py) ----------------------------

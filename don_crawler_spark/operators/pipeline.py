@@ -424,16 +424,28 @@ def dsir_importance(
             F.lit(buckets),
         ).alias("bucket"),
     )
+    # two consumers (bucket distributions + per-doc accumulation): persist
+    # so the explode + per-feature md5 runs once, not once per consumer —
+    # the same trade the shingle operators make with persist_shingles
+    from pyspark import StorageLevel
+
+    fb = fb.persist(StorageLevel.MEMORY_AND_DISK)
     is_target = F.col("source").isin(*target_sources)
-    raw = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        fb.filter(is_target)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE pass over the feature stream for both distributions: the raw
+    # and target per-bucket counts come out of a single groupBy (the
+    # target count as a conditional sum), and the global totals are the
+    # column sums of that B-row aggregate — the exploded feature stream
+    # used to be recomputed three times (raw groupBy, target groupBy,
+    # totals aggregate) and the raw/target frames re-joined on bucket.
+    # Values are identical: a bucket with no target rows reads ct = 0
+    # where the old left join read NULL, and both feed coalesce(ct,0)+1.
+    bstats = fb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("ct"),
     )
-    totals = fb.agg(
-        F.count(F.lit(1)).alias("tr"),
-        F.sum(F.when(is_target, 1).otherwise(0)).alias("tt"),
+    totals = bstats.agg(
+        F.sum("cr").alias("tr"),
+        F.sum("ct").alias("tt"),
     )
     b = F.lit(buckets)
     num = (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) * (
@@ -441,8 +453,7 @@ def dsir_importance(
     ).cast("double")
     den = (F.col("tt") + b).cast("double") * (F.col("cr") + F.lit(1.0))
     llr = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        bstats.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(F.lit(1000000000.0) * F.log(num / den))

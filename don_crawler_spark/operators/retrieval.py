@@ -46,6 +46,8 @@ def _bm25_scored(
 ) -> DataFrame:
     """(doc_id, n_terms, raw_i) for every doc matching >=1 query term —
     raw_i is the integer-scaled exact BM25 score (see module docstring)."""
+    from pyspark import StorageLevel
+
     base = docs.select(
         "doc_id", tokens_col().alias("toks")
     ).select(
@@ -54,6 +56,12 @@ def _bm25_scored(
         # map-side prune: only query-term occurrences survive to the explode
         F.filter("toks", lambda t: t.isin(*terms)).alias("qtoks"),
     )
+    # three consumers (corpus scalars; the tf aggregate feeds both the
+    # df dimension and the score join): persist the pruned
+    # (doc_id, dl, qtoks) relation — a few bytes per doc — so the full
+    # tokenize + term filter over the corpus text runs once, not once
+    # per consumer
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # corpus scalars over ALL docs (single row -> broadcast cross join)
     stats = base.agg(

@@ -155,13 +155,29 @@ def run_crawl(
         )
 
         # Materialize in dependency order; manifest commit is the txn point.
+        # The fetched_full write runs FIRST and alone: it populates the
+        # round's persisted frames (selected / enriched), which every
+        # other output reads. The remaining three outputs — frontier
+        # write, bloom fold+write, metrics aggregate — only consume
+        # those caches and are mutually independent, so they run as
+        # CONCURRENT jobs from a small thread pool (guide §2.6: actions
+        # are only sequential because the driver calls them
+        # sequentially); the next job's tasks back-fill executors freed
+        # by the previous job's straggler tail. The commit point is
+        # unchanged: all writes complete before the manifest appears, so
+        # a crash mid-round still resumes from the previous round.
         store.write_table(out.fetched_full, rnd, "fetched_full")
-        store.write_table(out.new_frontier, rnd, "frontier")
 
-        if cfg.bloom_enabled:
-            # fold this round's new hashes into the bucket-sharded filters
-            # — from the PERSISTED round output, not a parquet re-read
-            # (each avoided re-scan is one less full job per round)
+        def _write_frontier() -> None:
+            store.write_table(out.new_frontier, rnd, "frontier")
+
+        def _write_bloom() -> None:
+            if not cfg.bloom_enabled:
+                return
+            # fold this round's new hashes into the bucket-sharded
+            # filters — from the PERSISTED round output, not a parquet
+            # re-read (each avoided re-scan is one less full job per
+            # round)
             delta_b = out.fetched_full.filter(F.col("__seen_eligible")).select(
                 F.pmod(F.col("url_hash"), F.lit(cfg.bloom_buckets))
                 .cast("int")
@@ -178,22 +194,37 @@ def run_crawl(
             )
             store.write_table(bloom_new, rnd, "seen_bloom")
 
-        # per-partition lineage/counters (metrics table): ONE aggregation
-        # job over the persisted round output (no parquet re-read), its
-        # tiny result collected once and re-written as the metrics table
-        # from the driver (a sub-second 1-partition write) — 2 cheap jobs
-        # instead of 2 full re-scans.
-        mrows = (
-            out.fetched_full
-            .groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count(F.lit(1)).alias("urls_fetched"),
-                F.sum((F.col("status") == 200).cast("long")).alias("urls_200"),
-                F.sum("n_links").alias("links_emitted"),
-            )
-            .withColumn("round", F.lit(rnd))
-            .withColumn("wall_ms", F.lit(int((time.monotonic() - t0) * 1000)))
-        ).collect()
+        def _metrics() -> list:
+            # per-partition lineage/counters (metrics table): ONE
+            # aggregation job over the persisted round output (no
+            # parquet re-read), its tiny result collected once and
+            # re-written as the metrics table from the driver (a
+            # sub-second 1-partition write)
+            return (
+                out.fetched_full
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(
+                    F.count(F.lit(1)).alias("urls_fetched"),
+                    F.sum((F.col("status") == 200).cast("long")).alias(
+                        "urls_200"
+                    ),
+                    F.sum("n_links").alias("links_emitted"),
+                )
+                .withColumn("round", F.lit(rnd))
+                .withColumn(
+                    "wall_ms", F.lit(int((time.monotonic() - t0) * 1000))
+                )
+            ).collect()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_frontier = pool.submit(_write_frontier)
+            f_bloom = pool.submit(_write_bloom)
+            f_metrics = pool.submit(_metrics)
+            f_frontier.result()
+            f_bloom.result()
+            mrows = f_metrics.result()
         # write even when empty: tooling reads metrics for the terminal
         # round too (an empty round still leaves an empty metrics table)
         store.write_table(

@@ -545,11 +545,21 @@ def run_round(
     seen_now = seen.select("url_hash").unionByName(
         fetched_full.filter(F.col("__seen_eligible")).select("url_hash")
     )
+    # the 3-way union stacks every branch's partitions (deferred carries
+    # the window widths, links the explode width, retry the persist
+    # width — 300+ partitions of a politeness-bounded frontier), so the
+    # checkpoint write would emit hundreds of tiny files and the next
+    # round would pay the listing/open cost back (guide §6). Coalesce to
+    # 2x the session's parallelism: task merging only (no shuffle, the
+    # anti-join above keeps its width), scale-relative rather than a
+    # local constant.
+    n_out = 2 * frontier.sparkSession.sparkContext.defaultParallelism
     new_frontier = (
         deferred.select(FRONTIER_COLS)
         .unionByName(new_links.select(FRONTIER_COLS))
         .unionByName(retry.select(FRONTIER_COLS))
         .join(seen_now, "url_hash", "left_anti")
+        .coalesce(n_out)
     )
 
     return RoundOutput(
