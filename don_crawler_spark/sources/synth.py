@@ -271,13 +271,24 @@ def generate_corpus(
     # local parquet file serialize on the shared input stream (measured:
     # 34s single-file vs 2s across 64 files for the same 1.4 GB scan) —
     # and a sharded layout is what a 100 TB corpus looks like anyway.
+    #
+    # r6: 25k rows/file produced ~70 MB files with ONE row group each —
+    # a single-row-group file is effectively unsplittable, so the
+    # per-round corpus scan ran ~8-wide on a 32-core session with a
+    # multi-second straggler tail (guide §2.5 input skew). 3,125
+    # rows/file (~9 MB) with bounded row groups keeps every scan task
+    # in the same size class; the 2k-page warmup corpus stays 1 file.
     pages_dir = os.path.join(out_dir, "pages.parquet")
     os.makedirs(pages_dir, exist_ok=True)
-    rows_per_file = 25_000
+    rows_per_file = 3_125
     n_files = max(1, (n_pages + rows_per_file - 1) // rows_per_file)
     for k in range(n_files):
         chunk = pages_tbl.slice(k * rows_per_file, rows_per_file)
-        pq.write_table(chunk, os.path.join(pages_dir, f"part-{k:05d}.parquet"))
+        pq.write_table(
+            chunk,
+            os.path.join(pages_dir, f"part-{k:05d}.parquet"),
+            row_group_size=rows_per_file,
+        )
     paths["pages"] = pages_dir
 
     seeds_tbl = pa.table(
