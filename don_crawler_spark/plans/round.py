@@ -182,6 +182,7 @@ def run_round(
     transient: DataFrame | None = None,
     fetch_join: str = "broadcast",
     redirects: DataFrame | None = None,
+    precut: bool = True,
 ) -> RoundOutput:
     """Build the round-``rnd`` DAG. Nothing is executed here — the driver
     materializes the outputs (checkpoint) which triggers one job.
@@ -248,14 +249,28 @@ def run_round(
     )
 
     # two-phase top-k: salted local rank prunes each host's candidates to
-    # ≤ _BUDGET_PRECUT_SALTS x budget rows before the exact per-host window
-    salt = F.pmod(F.col("url_hash"), F.lit(_BUDGET_PRECUT_SALTS))
-    w_pre = Window.partitionBy("host", salt).orderBy("depth", "url_hash")
-    pre = allowed.withColumn("__pre_rank", F.row_number().over(w_pre))
-    survivors = pre.filter(F.col("__pre_rank") <= F.col("budget")).drop("__pre_rank")
-    deferred_precut = pre.filter(F.col("__pre_rank") > F.col("budget")).drop(
-        "__pre_rank"
-    )
+    # ≤ _BUDGET_PRECUT_SALTS x budget rows before the exact per-host window.
+    # ``precut=False`` skips the salted pass entirely — the driver
+    # disables it for rounds whose frontier COUNT cannot exceed any
+    # host's budget (n_frontier <= min budget, read from parquet footers
+    # + the budgets dimension, same driver-side-metadata pattern as
+    # _choose_fetch_join): in that regime the pre-rank can prune nothing,
+    # so the extra window is pure cost. The selected/deferred row sets
+    # are identical either way (the exact per-host window re-applies the
+    # same budget cut).
+    if precut:
+        salt = F.pmod(F.col("url_hash"), F.lit(_BUDGET_PRECUT_SALTS))
+        w_pre = Window.partitionBy("host", salt).orderBy("depth", "url_hash")
+        pre = allowed.withColumn("__pre_rank", F.row_number().over(w_pre))
+        survivors = pre.filter(F.col("__pre_rank") <= F.col("budget")).drop(
+            "__pre_rank"
+        )
+        deferred_precut = pre.filter(
+            F.col("__pre_rank") > F.col("budget")
+        ).drop("__pre_rank")
+    else:
+        survivors = allowed
+        deferred_precut = allowed.limit(0)
 
     w_host = Window.partitionBy("host").orderBy("depth", "url_hash")
     ranked = survivors.withColumn("rank_in_host", F.row_number().over(w_host))
