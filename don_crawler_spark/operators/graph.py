@@ -382,10 +382,17 @@ def assortativity(edges: DataFrame) -> DataFrame:
     dec = "decimal(38,0)"
     agg = pairs.agg(
         (F.count(F.lit(1)) * 2).cast("long").alias("m_edges"),
+        # per-row products computed IN decimal (r5 ADVICE): casting only
+        # the accumulation left the BIGINT du*dv product to overflow at
+        # degrees near 2^31; identical values wherever the old form
+        # didn't overflow, so the oracle comparison is unchanged
         F.sum((F.col("du") + F.col("dv")).cast(dec)).alias("sum_x"),
-        F.sum((F.col("du") * F.col("dv") * 2).cast(dec)).alias("sum_xy"),
+        F.sum(F.col("du").cast(dec) * F.col("dv").cast(dec) * 2).alias(
+            "sum_xy"
+        ),
         F.sum(
-            (F.col("du") * F.col("du") + F.col("dv") * F.col("dv")).cast(dec)
+            F.col("du").cast(dec) * F.col("du").cast(dec)
+            + F.col("dv").cast(dec) * F.col("dv").cast(dec)
         ).alias("sum_xx"),
     )
     num = F.col("m_edges").cast(dec) * F.col("sum_xy") - F.col("sum_x") * F.col(
