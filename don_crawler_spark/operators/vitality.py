@@ -228,7 +228,11 @@ def vitality_index(
     from don_crawler_spark.plans.adaptive import adaptive_partitions
 
     npart = adaptive_partitions(commits)
-    commits = commits.repartition(npart, "repo")
+    # persist: the spine distinct, three aggregates and the author join
+    # are planned as independent subtrees (several end up on the build
+    # side of a broadcast join, each a separate job) — without the pin
+    # every one re-runs the scan + repartition
+    commits = commits.repartition(npart, "repo").persist()
     tags = tags.repartition(npart, "repo")
     spine = day_spine(spark, commits, days, now)
     act = daily_activity(commits)
